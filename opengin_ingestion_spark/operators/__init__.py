@@ -1,0 +1,15 @@
+"""Relational + CDC operators of the engine.
+
+Each module re-expresses a reference behavior (cited per-module) as an
+idiomatic Catalyst-optimizable DataFrame transformation — declarative plans,
+partial aggregation, broadcast/bucket pruning — never driver-side loops.
+"""
+
+from opengin_ingestion_spark.operators.lww import lww_winners, lww_winners_window  # noqa: F401
+from opengin_ingestion_spark.operators.salt import salted_repartition  # noqa: F401
+from opengin_ingestion_spark.operators.evolution import (  # noqa: F401
+    SchemaEvolutionError,
+    align_to_schema,
+    evolve_schema,
+)
+from opengin_ingestion_spark.operators.merge import MergeResult, merge_batch  # noqa: F401

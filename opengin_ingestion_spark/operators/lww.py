@@ -1,0 +1,60 @@
+"""Last-writer-wins conflict resolution by (warc_ts, seq).
+
+Reference analog: page order decides merge order — fragments are applied in
+ascending page number (/root/reference/python/src/opengin/tracer/
+orchestrator.py:171-175 sorts intermediate files; aggregator.py:82-84
+extends rows in that order). The CDC engine generalizes "arrival order" to
+an explicit event-time ordering key ``(warc_ts, seq)`` so replay becomes
+order-insensitive: whatever order events arrive in, the winner per url is
+the max ordering key.
+
+Two implementations:
+
+* ``lww_winners`` (DEFAULT) — ``groupBy(url).agg(max_by(payload, ord))``.
+  Catalyst plans this as HashAggregate with **partial (map-side)
+  aggregation**, so a hot url collapses to one row per map task *before*
+  the shuffle — this is the skew-resistant path and the one the engine
+  uses at scale. No sort, no full window buffering.
+* ``lww_winners_window`` — the textbook ``row_number() over (partition by
+  url order by warc_ts desc, seq desc) = 1``. Kept for plan comparison and
+  as an oracle for the aggregate variant (tests assert they agree); a
+  window must shuffle ALL rows of a hot url to one partition, which is
+  exactly the skew the aggregate variant avoids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def lww_winners(
+    df: DataFrame,
+    key: str = "url",
+    ts: str = "warc_ts",
+    seq: str = "_seq",
+) -> DataFrame:
+    """One winning row per ``key``: max (ts, seq). Skew-resistant
+    (partial-aggregable). ``seq`` must be unique → deterministic."""
+    payload = F.struct(*[F.col(c) for c in df.columns])
+    order_key = F.struct(F.col(ts), F.col(seq))
+    return (
+        df.groupBy(key)
+        .agg(F.max_by(payload, order_key).alias("_winner"))
+        .select("_winner.*")
+    )
+
+
+def lww_winners_window(
+    df: DataFrame,
+    key: str = "url",
+    ts: str = "warc_ts",
+    seq: str = "_seq",
+) -> DataFrame:
+    """Window formulation of the same semantics (reference/oracle path)."""
+    w = Window.partitionBy(key).orderBy(F.col(ts).desc(), F.col(seq).desc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -1,0 +1,111 @@
+"""Batch replay: change log → transform → MERGE → `pages` GinTable.
+
+The end-to-end slice of SURVEY.md §7 Phase 2. One logical plan per batch:
+
+    read(log) → salted repartition (hot-url skew)
+              → extract_text / detect_lang (Arrow-vectorized pandas UDFs)
+              → MERGE (LWW, bucket-pruned copy-on-write, exactly-once)
+
+Reference analog: scan (scanner.py:55-102) + aggregate (aggregator.py:24-104)
++ export (exporter.py:28-103), collapsed into one declarative pipeline —
+the intermediate JSON materializations of the reference are replaced by
+Catalyst pipelining; only the commit materializes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from opengin_ingestion_spark.functions.extract import detect_lang_udf, extract_text_udf
+from opengin_ingestion_spark.operators.merge import MergeResult, merge_batch
+from opengin_ingestion_spark.operators.salt import salted_repartition
+from opengin_ingestion_spark.sources.gintable import GinTable
+from opengin_ingestion_spark.sources.reader import read_changelog
+
+# Target `pages` table user schema (BASELINE.json input_hint) + the evolved
+# content_len column; `lang` arrives via evolution in the evolving fixture.
+PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), False),
+        T.StructField("html", T.BinaryType(), True),
+        T.StructField("text", T.StringType(), True),
+    ]
+)
+
+
+def transform_changes(
+    df: DataFrame,
+    shuffle_partitions: int | None = None,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """The vectorized schema-mapping/validation stage.
+
+    * salted repartition spreads hot urls across tasks BEFORE the pandas
+      UDFs (otherwise one task extracts all revisions of a hot url),
+    * `text` = extract_text(html) — Arrow-batched, byte-deterministic,
+    * `lang` = input lang if the (evolved) log carries one, else detected,
+    * deletes skip extraction (`html` payload is irrelevant for a 'D').
+    """
+    n = shuffle_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    df = salted_repartition(df, int(n), key="url", salt_from="seq", salt_buckets=salt_buckets)
+    df = df.withColumn(
+        "text",
+        F.when(F.col("op") == "D", F.lit(None).cast("string")).otherwise(
+            extract_text_udf(F.col("html"))
+        ),
+    )
+    lang_in = F.col("lang") if "lang" in df.columns else F.lit(None).cast("string")
+    df = df.withColumn(
+        "lang",
+        F.when(F.col("op") == "D", F.lit(None).cast("string")).otherwise(
+            F.coalesce(lang_in, detect_lang_udf(F.col("text")))
+        ),
+    )
+    return df
+
+
+def replay_changelog(
+    spark: SparkSession,
+    log_dir: str,
+    table_path: str,
+    n_buckets: int = 64,
+    batch_id: int = 0,
+    group_files: int | None = None,
+) -> tuple[GinTable, list[MergeResult]]:
+    """Replay a change log into a `pages` GinTable.
+
+    ``group_files=None`` → whole log as ONE batch (fastest replay: one LWW
+    pass, each bucket written once). ``group_files=k`` → k files per merge
+    batch in filename order (exercises the incremental path; batch ids are
+    ``batch_id + i``). Both converge to the same final state (LWW).
+    """
+    if GinTable.exists(table_path):
+        table = GinTable.load(spark, table_path)
+    else:
+        table = GinTable.create(spark, table_path, PAGES_SCHEMA, n_buckets=n_buckets)
+
+    results: list[MergeResult] = []
+    if group_files is None:
+        df = transform_changes(read_changelog(spark, log_dir))
+        results.append(merge_batch(table, df, batch_id=batch_id))
+    else:
+        files = sorted(
+            os.path.join(log_dir, f)
+            for f in os.listdir(log_dir)
+            if f.endswith(".parquet")
+        )
+        from opengin_ingestion_spark.sources.reader import infer_log_schema
+
+        schema = infer_log_schema(log_dir)
+        for i in range(0, len(files), group_files):
+            chunk = files[i : i + group_files]
+            df = transform_changes(spark.read.schema(schema).parquet(*chunk))
+            results.append(
+                merge_batch(table, df, batch_id=batch_id + i // group_files)
+            )
+    return table, results

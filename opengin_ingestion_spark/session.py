@@ -1,0 +1,59 @@
+"""SparkSession factory tuned for the CDC engine.
+
+Defaults chosen for the sandbox (local[N], single JVM) but every knob is the
+one you would set on a real multi-executor cluster too: AQE on (runtime
+skew-join splitting + partition coalescing), Arrow-vectorized Python UDF
+transport, UTC session timezone (so timestamps compare bit-for-bit against
+the DuckDB oracle), shuffle partitions sized to cores rather than the
+200 default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "opengin_ingestion_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env) or
+    ``local[*]``. ``shuffle_partitions`` defaults to the core count —
+    at cluster scale you would size this to ~2-3x total cores and rely on
+    AQE coalescing; locally cores is right.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        shuffle_partitions = int(cpus) if cpus else (os.cpu_count() or 8)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # file-source streaming: don't keep unbounded file listing state
+        .config("spark.sql.streaming.fileSource.log.compactInterval", "10")
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,391 @@
+"""GinTable — a native lake-table layer (Iceberg-semantics over Parquet).
+
+No Iceberg/Delta/Hudi jars exist in this sandbox (verified: 0 matches in
+/opt/spark/jars), so the engine implements the table layer itself with the
+same semantics, behind a small interface a real Iceberg catalog could
+replace:
+
+  * **Data files**: Parquet, bucketed by ``pmod(xxhash64(url), n_buckets)``
+    — the bucket is the MERGE pruning unit (a micro-batch only rewrites the
+    buckets it touches; everything else is carried forward by reference).
+  * **Snapshots**: JSON manifests ``_manifests/v{N}.json`` listing data
+    files + per-file bucket/rows/bytes/schema-version. The current table
+    state is the highest committed version.
+  * **Atomic commit**: manifest written to a temp name then ``os.link``ed
+    to its final name — link fails if the version already exists, which is
+    the optimistic-concurrency check (same rename-based idempotence idea as
+    the reference's collision-counter export,
+    /root/reference/python/src/opengin/tracer/agents/exporter.py:59-69,
+    upgraded from "never overwrite" to "atomically detect conflict").
+  * **Exactly-once**: each snapshot records applied batch ids as compressed
+    ranges; re-delivery of an applied batch is a no-op (the reference's
+    idempotent filenames + per-run metadata, exporter.py:59-69 +
+    orchestrator.py:399-410, become a real transactional high-water mark).
+  * **Schema evolution**: every snapshot carries the full schema history;
+    data files reference the schema version they were written with. Reads
+    use Spark 4's widening Parquet read (int32→int64, missing column→null)
+    against the *current* schema.
+
+Scale notes (10^10 events, 1000 executors): manifests list O(n_buckets)
+files after compaction, not O(commits); applied-batch ranges stay O(1) for
+monotone streaming batch ids; the only driver-side work per commit is a
+footer stat read of the files the commit itself wrote.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass
+from datetime import datetime, timezone
+from typing import Any
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MANIFEST_DIR = "_manifests"
+DATA_DIR = "data"
+SEQ_COL = "_seq"  # internal last-writer-wins tiebreak column
+DELETED_COL = "_deleted"  # internal tombstone flag (see note below)
+BUCKET_COL = "_bucket"  # internal bucket column (manifest metadata, not stored)
+
+# Tombstones: a delete is stored as a row with _deleted=true and nulled
+# payload, NOT physically removed — otherwise an out-of-order event arriving
+# in a LATER batch with an OLDER (warc_ts, seq) would resurrect the url
+# (the table must remember the delete's LWW ordering key). User reads filter
+# tombstones; merge reads keep them. At scale tombstones are expired once
+# the event-time watermark passes them (operators/merge.py:expire_tombstones).
+
+
+class CommitConflict(Exception):
+    """Another writer committed the same version first — retry on top."""
+
+
+# --- applied-batch-id ranges (exactly-once bookkeeping) --------------------
+
+def ranges_add(ranges: list[list[int]], bid: int) -> list[list[int]]:
+    """Insert ``bid`` into sorted inclusive ranges, merging neighbors."""
+    out: list[list[int]] = []
+    placed = False
+    for lo, hi in ranges:
+        if placed or bid > hi + 1:
+            out.append([lo, hi])
+        elif bid < lo - 1:
+            out.append([bid, bid])
+            out.append([lo, hi])
+            placed = True
+        else:  # overlaps/adjacent
+            out.append([min(lo, bid), max(hi, bid)])
+            placed = True
+    if not placed:
+        out.append([bid, bid])
+    # merge adjacents created by insertion
+    merged: list[list[int]] = []
+    for r in sorted(out):
+        if merged and r[0] <= merged[-1][1] + 1:
+            merged[-1][1] = max(merged[-1][1], r[1])
+        else:
+            merged.append(list(r))
+    return merged
+
+
+def ranges_contain(ranges: list[list[int]], bid: int) -> bool:
+    return any(lo <= bid <= hi for lo, hi in ranges)
+
+
+@dataclass
+class DataFile:
+    path: str  # relative to table root
+    bucket: int
+    rows: int
+    bytes: int
+    schema_version: int
+
+    def to_json(self) -> dict:
+        return self.__dict__.copy()
+
+    @staticmethod
+    def from_json(d: dict) -> "DataFile":
+        return DataFile(**d)
+
+
+class GinTable:
+    """A bucketed copy-on-write lake table with snapshot isolation."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = os.path.abspath(path)
+        self._manifest_dir = os.path.join(self.path, MANIFEST_DIR)
+
+    # -- lifecycle ----------------------------------------------------------
+
+    @staticmethod
+    def create(
+        spark: SparkSession, path: str, schema: T.StructType, n_buckets: int = 64
+    ) -> "GinTable":
+        """Create an empty table (snapshot v0). Fails if it exists."""
+        t = GinTable(spark, path)
+        os.makedirs(t._manifest_dir, exist_ok=False)
+        os.makedirs(os.path.join(t.path, DATA_DIR), exist_ok=True)
+        stored = GinTable._with_internal(schema)
+        snap = {
+            "version": 0,
+            "parent": None,
+            "n_buckets": n_buckets,
+            "schema_version": 1,
+            "schemas": {"1": json.loads(stored.json())},
+            "files": [],
+            "applied_batch_ranges": [],
+            "metrics": {},
+            "lineage": [],
+            "committed_at": datetime.now(timezone.utc).isoformat(),
+        }
+        t._write_manifest(snap)
+        return t
+
+    @staticmethod
+    def load(spark: SparkSession, path: str) -> "GinTable":
+        t = GinTable(spark, path)
+        if t.current_snapshot() is None:
+            raise FileNotFoundError(f"no GinTable at {path}")
+        return t
+
+    @staticmethod
+    def exists(path: str) -> bool:
+        d = os.path.join(os.path.abspath(path), MANIFEST_DIR)
+        return os.path.isdir(d) and any(
+            f.startswith("v") and f.endswith(".json") for f in os.listdir(d)
+        )
+
+    @staticmethod
+    def _with_internal(schema: T.StructType) -> T.StructType:
+        fields = list(schema.fields)
+        names = schema.fieldNames()
+        if SEQ_COL not in names:
+            fields.append(T.StructField(SEQ_COL, T.LongType(), True))
+        if DELETED_COL not in names:
+            fields.append(T.StructField(DELETED_COL, T.BooleanType(), True))
+        return T.StructType(fields)
+
+    # -- snapshots ----------------------------------------------------------
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self._manifest_dir, f"v{version:08d}.json")
+
+    def current_version(self) -> int | None:
+        if not os.path.isdir(self._manifest_dir):
+            return None
+        versions = [
+            int(f[1:9])
+            for f in os.listdir(self._manifest_dir)
+            if f.startswith("v") and f.endswith(".json")
+        ]
+        return max(versions) if versions else None
+
+    def current_snapshot(self) -> dict | None:
+        v = self.current_version()
+        if v is None:
+            return None
+        return self.snapshot(v)
+
+    def snapshot(self, version: int) -> dict:
+        with open(self._manifest_path(version)) as fh:
+            return json.load(fh)
+
+    def _write_manifest(self, snap: dict) -> None:
+        """Atomic check-and-commit: link() fails if the version exists."""
+        final = self._manifest_path(snap["version"])
+        tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump(snap, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, final)
+        except FileExistsError as e:
+            raise CommitConflict(
+                f"version {snap['version']} already committed"
+            ) from e
+        finally:
+            os.unlink(tmp)
+
+    # -- schema ------------------------------------------------------------
+
+    def schema(self, snap: dict | None = None, include_internal: bool = False) -> T.StructType:
+        snap = snap or self.current_snapshot()
+        stored = T.StructType.fromJson(snap["schemas"][str(snap["schema_version"])])
+        if include_internal:
+            return stored
+        return T.StructType([f for f in stored.fields if not f.name.startswith("_")])
+
+    def n_buckets(self, snap: dict | None = None) -> int:
+        snap = snap or self.current_snapshot()
+        return snap["n_buckets"]
+
+    def bucket_expr(self, key_col: str = "url", snap: dict | None = None):
+        """Bucket assignment expression — MUST be used identically on write
+        and on merge probe so pruning is sound."""
+        return F.pmod(F.xxhash64(F.col(key_col)), F.lit(self.n_buckets(snap))).cast("int")
+
+    # -- read path ----------------------------------------------------------
+
+    def read(
+        self,
+        snap: dict | None = None,
+        buckets: set[int] | None = None,
+        include_internal: bool = False,
+    ) -> DataFrame:
+        """Read table state at a snapshot, optionally pruned to buckets.
+
+        Bucket pruning happens HERE, at the manifest layer — the Spark scan
+        never even lists the untouched files (this is the engine's
+        partition pruning for MERGE).
+        """
+        snap = snap or self.current_snapshot()
+        schema = self.schema(snap, include_internal=True)
+        files = [DataFile.from_json(f) for f in snap["files"]]
+        if buckets is not None:
+            files = [f for f in files if f.bucket in buckets]
+        if not files:
+            df = self.spark.createDataFrame([], schema)
+        else:
+            paths = [os.path.join(self.path, f.path) for f in files]
+            # Spark 4 Parquet reader: missing columns → null, int32→int64
+            # widening — covers all schema-history eras in one scan.
+            df = self.spark.read.schema(schema).parquet(*paths)
+        if not include_internal:
+            # user view: tombstones invisible, internal columns dropped
+            df = df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False))).select(
+                *[f.name for f in schema.fields if not f.name.startswith("_")]
+            )
+        return df
+
+    # -- write path ----------------------------------------------------------
+
+    def write_data_files(
+        self, df: DataFrame, version: int, schema_version: int
+    ) -> list[DataFile]:
+        """Write ``df`` (must carry BUCKET_COL) as bucketed Parquet files
+        under a commit-scoped directory; returns manifest entries.
+
+        Files land before the manifest is committed — a crashed commit
+        leaves only unreferenced files (GC'able), never a torn table.
+        """
+        commit_dir_rel = os.path.join(DATA_DIR, f"commit-{version:08d}-{uuid.uuid4().hex[:8]}")
+        commit_dir = os.path.join(self.path, commit_dir_rel)
+        (
+            df.write.mode("error")
+            .partitionBy(BUCKET_COL)
+            .parquet(commit_dir)
+        )
+        out: list[DataFile] = []
+        for bucket_dir in sorted(os.listdir(commit_dir)):
+            if not bucket_dir.startswith(f"{BUCKET_COL}="):
+                continue
+            bucket = int(bucket_dir.split("=")[1])
+            bdir = os.path.join(commit_dir, bucket_dir)
+            for fname in sorted(os.listdir(bdir)):
+                if not fname.endswith(".parquet"):
+                    continue
+                fpath = os.path.join(bdir, fname)
+                meta = pq.read_metadata(fpath)
+                out.append(
+                    DataFile(
+                        path=os.path.join(commit_dir_rel, bucket_dir, fname),
+                        bucket=bucket,
+                        rows=meta.num_rows,
+                        bytes=os.path.getsize(fpath),
+                        schema_version=schema_version,
+                    )
+                )
+        return out
+
+    def commit(
+        self,
+        new_files: list[DataFile],
+        replaced_buckets: set[int],
+        batch_ids: list[int],
+        metrics: dict[str, Any] | None = None,
+        lineage: list[dict] | None = None,
+        new_schema: T.StructType | None = None,
+        expected_parent: int | None = None,
+    ) -> dict:
+        """Commit a copy-on-write snapshot: files in ``replaced_buckets``
+        are dropped, ``new_files`` added, everything else carried forward.
+
+        Raises CommitConflict if another writer got the version first
+        (optimistic concurrency; caller re-reads and retries).
+        """
+        parent = self.current_snapshot()
+        if expected_parent is not None and parent["version"] != expected_parent:
+            raise CommitConflict(
+                f"expected parent {expected_parent}, found {parent['version']}"
+            )
+        carried = [
+            f for f in parent["files"] if f["bucket"] not in replaced_buckets
+        ]
+        schemas = dict(parent["schemas"])
+        schema_version = parent["schema_version"]
+        if new_schema is not None:
+            stored = GinTable._with_internal(new_schema)
+            current = T.StructType.fromJson(schemas[str(schema_version)])
+            if stored != current:
+                schema_version += 1
+                schemas[str(schema_version)] = json.loads(stored.json())
+        applied = parent["applied_batch_ranges"]
+        for bid in batch_ids:
+            applied = ranges_add(applied, bid)
+        snap = {
+            "version": parent["version"] + 1,
+            "parent": parent["version"],
+            "n_buckets": parent["n_buckets"],
+            "schema_version": schema_version,
+            "schemas": schemas,
+            "files": carried + [f.to_json() for f in new_files],
+            "applied_batch_ranges": applied,
+            "metrics": metrics or {},
+            "lineage": lineage or [],
+            "committed_at": datetime.now(timezone.utc).isoformat(),
+        }
+        self._write_manifest(snap)
+        return snap
+
+    def is_batch_applied(self, batch_id: int, snap: dict | None = None) -> bool:
+        snap = snap or self.current_snapshot()
+        return ranges_contain(snap["applied_batch_ranges"], batch_id)
+
+    # -- maintenance ---------------------------------------------------------
+
+    def history(self) -> list[dict]:
+        """All snapshots, oldest first (the run-metadata/status analog of
+        the reference's per-run metadata.json, orchestrator.py:78-86)."""
+        versions = sorted(
+            int(f[1:9])
+            for f in os.listdir(self._manifest_dir)
+            if f.startswith("v") and f.endswith(".json")
+        )
+        return [self.snapshot(v) for v in versions]
+
+    def live_files(self) -> set[str]:
+        snap = self.current_snapshot()
+        return {f["path"] for f in snap["files"]}
+
+    def gc_orphans(self, dry_run: bool = True) -> list[str]:
+        """List (and optionally delete) data files referenced by NO
+        snapshot — leftovers of crashed commits."""
+        referenced: set[str] = set()
+        for snap in self.history():
+            referenced.update(f["path"] for f in snap["files"])
+        orphans = []
+        data_root = os.path.join(self.path, DATA_DIR)
+        for root, _dirs, fnames in os.walk(data_root):
+            for fname in fnames:
+                rel = os.path.relpath(os.path.join(root, fname), self.path)
+                if fname.endswith(".parquet") and rel not in referenced:
+                    orphans.append(rel)
+                    if not dry_run:
+                        os.unlink(os.path.join(self.path, rel))
+        return orphans

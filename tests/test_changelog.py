@@ -1,0 +1,63 @@
+"""Generator unit tests: determinism, zipf skew, evolution schedule."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+
+from opengin_ingestion_spark.sources.changelog import (
+    ChangeLogSpec,
+    generate_changelog,
+    make_duplicated_variant,
+    make_html,
+    make_shuffled_variant,
+)
+from tests.oracle import read_log_pandas
+
+
+def test_make_html_deterministic():
+    a = make_html("https://a.com/1", 7)
+    b = make_html("https://a.com/1", 7)
+    c = make_html("https://a.com/1", 8)
+    assert a == b and a != c
+    assert b"<script>" in a and b"</html>" in a
+
+
+def test_generate_deterministic(tmp_path):
+    spec = ChangeLogSpec(n_events=500, n_urls=50, n_batches=4, seed=7)
+    i1 = generate_changelog(str(tmp_path / "a"), spec)
+    i2 = generate_changelog(str(tmp_path / "b"), spec)
+    assert i1["n_events"] == i2["n_events"] == 500
+    for f1, f2 in zip(i1["files"], i2["files"]):
+        assert pq.read_table(f1).equals(pq.read_table(f2))
+
+
+def test_zipf_skew(tiny_log):
+    df = read_log_pandas(tiny_log["dir"])
+    counts = df["url"].value_counts()
+    # hot url should dominate: top url sees >5% of all events
+    assert counts.iloc[0] > 0.05 * len(df)
+    assert df["seq"].is_unique
+    # first event per url is an insert
+    firsts = df.sort_values("seq").groupby("url").first()
+    assert (firsts["op"] == "I").all()
+
+
+def test_evolution_schedule(evolving_log):
+    files = sorted(os.listdir(evolving_log["dir"]))
+    pre = pq.read_schema(os.path.join(evolving_log["dir"], files[0]))
+    post = pq.read_schema(os.path.join(evolving_log["dir"], files[-1]))
+    assert "lang" not in pre.names and "lang" in post.names
+    assert str(pre.field("content_len").type) == "int32"
+    assert str(post.field("content_len").type) == "int64"
+
+
+def test_variants(tiny_log, tmp_path):
+    dup = make_duplicated_variant(tiny_log["dir"], str(tmp_path / "dup"), [0, 3])
+    assert len(dup) == tiny_log["n_batches"] + 2
+    shuf = make_shuffled_variant(tiny_log["dir"], str(tmp_path / "shuf"))
+    base = read_log_pandas(tiny_log["dir"]).sort_values("seq").reset_index(drop=True)
+    shufd = read_log_pandas(str(tmp_path / "shuf")).sort_values("seq").reset_index(drop=True)
+    # same logical events, different physical order
+    assert base.equals(shufd)
