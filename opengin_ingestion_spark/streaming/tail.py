@@ -1,0 +1,77 @@
+"""Streaming tail: readStream over the change-log dir → foreachBatch MERGE.
+
+Exactly-once story (the layered guarantee):
+
+1. Structured Streaming's checkpoint gives at-least-once delivery of each
+   micro-batch with a STABLE, monotone ``batch_id`` (a batch replayed after
+   a crash keeps its id).
+2. ``merge_batch`` consults the table's applied-batch ranges *inside* the
+   batch function and commits the id atomically with the data — so the
+   replayed duplicate becomes a no-op.
+
+Together: exactly-once table state under any crash/restart point, verified
+by tests/test_streaming.py (kill mid-replay → restart → state equals the
+batch oracle; manifest shows each batch id applied once).
+
+``Trigger.AvailableNow`` = bounded replay mode (drain the log, then stop);
+a processing-time trigger = live tailing. ``maxFilesPerTrigger`` bounds
+micro-batch size — the knob that keeps a micro-batch's shuffle within
+executor memory at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from opengin_ingestion_spark.operators.merge import merge_batch
+from opengin_ingestion_spark.plans.replay import PAGES_SCHEMA, transform_changes
+from opengin_ingestion_spark.sources.gintable import GinTable
+from opengin_ingestion_spark.sources.reader import read_changelog_stream
+
+
+def tail_changelog(
+    spark: SparkSession,
+    log_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    n_buckets: int = 64,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+    processing_time: str | None = None,
+    dead_letter_dir: str | None = None,
+) -> StreamingQuery:
+    """Start the tail. Returns the StreamingQuery (caller awaits/stops)."""
+    if GinTable.exists(table_path):
+        table = GinTable.load(spark, table_path)
+    else:
+        table = GinTable.create(spark, table_path, PAGES_SCHEMA, n_buckets=n_buckets)
+
+    stream = read_changelog_stream(
+        spark, log_dir, max_files_per_trigger=max_files_per_trigger
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        df = batch_df
+        if dead_letter_dir is not None:
+            from opengin_ingestion_spark.operators.validate import split_dead_letter
+
+            df, dead = split_dead_letter(df)
+            # validate BEFORE the expensive extract stage; dead letters are
+            # written idempotently per batch id (a replayed batch overwrites
+            # its own subdir, so duplicate delivery can't double-write)
+            (
+                dead.write.mode("overwrite").parquet(
+                    f"{dead_letter_dir}/batch_id={batch_id}"
+                )
+            )
+        merge_batch(table, transform_changes(df), batch_id=batch_id)
+
+    writer = stream.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()

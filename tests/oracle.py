@@ -41,8 +41,9 @@ def read_log_pandas(log_dir: str) -> pd.DataFrame:
 def oracle_final_state(log_dir: str) -> pd.DataFrame:
     """Expected `pages` table after full replay: one row per live url."""
     df = read_log_pandas(log_dir)
-    # LWW winner per url: max (warc_ts, seq)
-    df = df.sort_values(["warc_ts", "seq"]).groupby("url", as_index=False).last()
+    # LWW winner per url: max (warc_ts, seq). Whole-row selection —
+    # NOT groupby().last(), which back-fills NaN columns from LOSING events.
+    df = df.sort_values(["warc_ts", "seq"]).drop_duplicates(subset="url", keep="last")
     df = df[df["op"] != "D"].copy()
     df["text"] = extract_text_series(df["html"])
     detected = detect_lang_series(df["text"])

@@ -1,0 +1,123 @@
+"""Streaming tests: AvailableNow replay, kill/resume from checkpoint,
+exactly-once across restart, dead-letter split (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import glob
+import os
+import time
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from opengin_ingestion_spark.sources.gintable import GinTable
+from opengin_ingestion_spark.streaming.tail import tail_changelog
+from tests.oracle import assert_states_equal, oracle_final_state
+
+
+def test_streaming_availablenow_matches_oracle(spark, tiny_log, tmp_path):
+    q = tail_changelog(
+        spark,
+        tiny_log["dir"],
+        str(tmp_path / "pages"),
+        str(tmp_path / "ckpt"),
+        n_buckets=16,
+        max_files_per_trigger=3,
+        available_now=True,
+    )
+    assert q.awaitTermination(300)
+    table = GinTable.load(spark, str(tmp_path / "pages"))
+    engine = table.read(include_internal=True).toPandas()
+    assert_states_equal(engine, oracle_final_state(tiny_log["dir"]))
+    # 8 files / 3 per trigger = 3 micro-batches, each applied exactly once
+    snap = table.current_snapshot()
+    assert snap["applied_batch_ranges"] == [[0, 2]]
+
+
+def test_streaming_resume_from_checkpoint(spark, tiny_log, tmp_path):
+    """Kill the query mid-replay, restart with the same checkpoint →
+    completes with no duplicates or gaps; final state matches oracle."""
+    table_path = str(tmp_path / "pages")
+    ckpt = str(tmp_path / "ckpt")
+
+    # phase 1: one file per trigger; stop as soon as some (not all)
+    # batches are applied
+    q = tail_changelog(
+        spark, tiny_log["dir"], table_path, ckpt,
+        n_buckets=16, max_files_per_trigger=1, available_now=True,
+    )
+    deadline = time.time() + 300
+    while time.time() < deadline:
+        if GinTable.exists(table_path):
+            t = GinTable.load(spark, table_path)
+            v = t.current_version()
+            if v and v >= 2:
+                break
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination(60)
+
+    t = GinTable.load(spark, table_path)
+    v_mid = t.current_version()
+    assert 0 < v_mid < tiny_log["n_batches"], "should have stopped mid-replay"
+
+    # phase 2: restart from the same checkpoint; drain the rest
+    q2 = tail_changelog(
+        spark, tiny_log["dir"], table_path, ckpt,
+        n_buckets=16, max_files_per_trigger=1, available_now=True,
+    )
+    assert q2.awaitTermination(300)
+
+    t = GinTable.load(spark, table_path)
+    engine = t.read(include_internal=True).toPandas()
+    assert_states_equal(engine, oracle_final_state(tiny_log["dir"]))
+    # every micro-batch id applied exactly once, no gaps
+    snap = t.current_snapshot()
+    assert snap["applied_batch_ranges"] == [[0, tiny_log["n_batches"] - 1]]
+    # each non-empty commit consumed a distinct batch id
+    bids = [
+        s["metrics"].get("batch_id")
+        for s in t.history()
+        if s["metrics"].get("batch_id") is not None
+    ]
+    assert len(bids) == len(set(bids))
+
+
+def test_dead_letter_split(spark, tiny_log, tmp_path):
+    """A poisoned batch file: bad rows land in the dead-letter dir with
+    reasons; good rows are merged; the run completes."""
+    import shutil
+
+    log2 = str(tmp_path / "log_poison")
+    shutil.copytree(tiny_log["dir"], log2)
+    # craft a poison batch: bad op, null url, ftp scheme, null html upsert
+    ts = pa.array([1_700_000_000_000_000] * 4, pa.timestamp("us", tz="UTC"))
+    bad = pa.table(
+        {
+            "seq": pa.array([900001, 900002, 900003, 900004], pa.int64()),
+            "op": pa.array(["X", "I", "I", "I"]),
+            "url": pa.array(["https://ok.example.com/1", None, "ftp://bad", "https://ok.example.com/2"]),
+            "warc_ts": ts,
+            "html": pa.array([b"<p>a</p>", b"<p>b</p>", b"<p>c</p>", None], pa.binary()),
+            "content_len": pa.array([8, 8, 8, None], pa.int32()),
+        }
+    )
+    pq.write_table(bad, os.path.join(log2, "batch_00099.parquet"))
+
+    dl = str(tmp_path / "dead")
+    q = tail_changelog(
+        spark, log2, str(tmp_path / "pages"), str(tmp_path / "ckpt"),
+        n_buckets=16, available_now=True, dead_letter_dir=dl,
+    )
+    assert q.awaitTermination(300)
+
+    dead = spark.read.parquet(dl)
+    reasons = {r["reason"] for r in dead.select("reason").collect()}
+    assert reasons == {"bad_op", "null_url", "bad_url_scheme", "null_html_on_upsert"}
+    assert dead.count() == 4
+    # the clean events still merged to the oracle state
+    table = GinTable.load(spark, str(tmp_path / "pages"))
+    engine = table.read(include_internal=True).toPandas()
+    assert_states_equal(engine, oracle_final_state(tiny_log["dir"]))
