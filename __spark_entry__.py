@@ -1,38 +1,533 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes every operator family of the engine
+(SURVEY.md §2) over the driver's read-only testdata tables; each entry with
+an ``oracle_sql()`` twin is exact-matched against DuckDB (row count +
+schema + order-insensitive value hash). Non-SQL-expressible operators
+(MinHash/SimHash/LSH-ANN, mapInPandas media features, the full CDC replay)
+have no oracle → rows-only check.
+
+Determinism rules used throughout (so value hashes match):
+ * double aggregations go through DECIMAL(18,2/4) (exact), final CAST to
+   DOUBLE; plain double arithmetic only in identical textual form.
+ * every computed column is aliased identically in Spark and SQL.
+ * ties in top-k/windows broken by a unique key.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
+from opengin_ingestion_spark.functions.textstats import (
+    PUNCT_RE,
+    STOPWORD_RE,
+    bpe_ish_token_count,
+    fingerprint,
+    punct_count,
+    quality_score,
+    stopword_count,
+    token_count,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# CDC-shaped queries over `events` (event_id→seq, user_id→key, ts→warc_ts)
+# ---------------------------------------------------------------------------
+
+def q_lww_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3/A3: last-writer-wins winner per key by (ts, seq) — the engine's
+    core LWW operator (partial-aggregable max_by, operators/lww.py)."""
+    ev = _t(spark, sf_dir, "events")
+    payload = F.struct("ts", "event_id", "event_type", "value")
+    order = F.struct("ts", "event_id")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.max_by(payload, order).alias("w"))
+        .select(
+            "user_id",
+            F.col("w.event_type").alias("last_type"),
+            F.col("w.value").alias("last_value"),
+            F.col("w.ts").alias("last_ts"),
+        )
+    )
+
+
+def q_cdc_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MERGE semantics on driver data: 'error' = delete, everything
+    else = upsert; final state = live keys with their last event."""
+    return q_lww_latest_state(spark, sf_dir).filter(F.col("last_type") != "error")
+
+
+def q_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        F.max("ts").alias("max_ts"),
+    )
+
+
+def q_hourly_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 + §2.5: ordered per-key running aggregate (event-sourcing view)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("run_value"),
+    )
+
+
+def q_dedup_events_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: first event id per identical (user, type, value)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id", "event_type", "value").agg(
+        F.min("event_id").alias("first_event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational coverage over the TPC-H-ish tables (joins/aggs/windows/set ops)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    dec2 = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec2("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec2("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(dec2("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec2("l_discount")))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast join + agg + deterministic top-k."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(10)
+    )
+
+
+def q_nation_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join (two broadcasts) + agg with exact average."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    )
+    return j.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_price"),
+    )
+
+
+def q_parts_topk_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_type").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey").asc()
+    )
+    return (
+        part.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("p_type", "p_partkey", "p_retailprice", "rnk")
+    )
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join (J2: the delete-side join of MERGE)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def q_union_high_value_parties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: union of two projections (schema-aligned unionByName)."""
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    a = cust.filter(F.col("c_acctbal") > 9000).select(
+        F.col("c_name").alias("name"), F.col("c_acctbal").alias("acctbal"),
+        F.lit("customer").alias("kind"),
+    )
+    b = supp.filter(F.col("s_acctbal") > 9000).select(
+        F.col("s_name").alias("name"), F.col("s_acctbal").alias("acctbal"),
+        F.lit("supplier").alias("kind"),
+    )
+    return a.unionByName(b)
+
+
+# ---------------------------------------------------------------------------
+# Text-analysis / training-data queries over `documents`
+# ---------------------------------------------------------------------------
+
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+def q_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        bpe_ish_token_count("text").alias("n_bpe_tokens"),
+        F.length("text").alias("n_chars_exact"),
+    )
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_words"),
+        stopword_count("text").alias("n_stopwords"),
+        punct_count("text").alias("n_punct"),
+        quality_score("text").alias("quality"),
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint("text").alias("fp"))
+
+
+def q_docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opengin_ingestion_spark.operators.dedup import exact_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs, ["text"], "doc_id").select(
+        F.col("doc_id").alias("keep_id"), F.md5("text").alias("text_fp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity over `embeddings`
+# ---------------------------------------------------------------------------
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opengin_ingestion_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, k=5).withColumnRenamed("rank", "rnk")
+
+
+def q_embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.min("vec_id").alias("min_vec"),
+        F.max("vec_id").alias("max_vec"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Non-SQL-expressible operators (rows-only checks)
+# ---------------------------------------------------------------------------
+
+def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opengin_ingestion_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, threshold=0.5)
+
+
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opengin_ingestion_spark.operators.dedup import simhash_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_pairs(docs, max_hamming=3)
+
+
+def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from opengin_ingestion_spark.operators.similarity import lsh_ann_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_ann_topk(emb, k=5, n_planes=8).withColumnRenamed("rank", "rnk")
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing over driver data: document text re-cast as an
+    opaque binary payload → mapInPandas feature extraction (decode stubbed
+    deterministically; Spark-side schema/batching real)."""
+    from opengin_ingestion_spark.operators.multimodal import extract_media_features
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("text").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit(None)
+        .cast(
+            "struct<mime:string,bytes:bigint,width:int,height:int,duration_ms:bigint>"
+        )
+        .alias("meta"),
+    )
+    feats = extract_media_features(media, fake=True)
+    return feats.select(
+        "media_id", "sha256", F.size("feature").alias("feature_dim")
+    )
+
+
+def q_cdc_replay_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE engine end-to-end: deterministic synthetic change log →
+    streaming-equivalent batch replay → final `pages` GinTable. Rows-only
+    check here; full row-for-row oracle equivalence is covered by
+    `python -m pytest -x -q` (tests/test_replay.py)."""
+    import tempfile
+
+    from opengin_ingestion_spark.plans.replay import replay_changelog
+    from opengin_ingestion_spark.sources.changelog import (
+        ChangeLogSpec,
+        generate_changelog,
+    )
+
+    base = tempfile.mkdtemp(prefix="opengin_entry_")
+    log = os.path.join(base, "log")
+    generate_changelog(
+        log, ChangeLogSpec(n_events=5_000, n_urls=500, n_batches=5, seed=42)
+    )
+    table, _ = replay_changelog(
+        spark, log, os.path.join(base, "pages"), n_buckets=16
+    )
+    return table.read().select("url", "warc_ts", "text", "lang")
+
+
+# ---------------------------------------------------------------------------
+# contract surface
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: CDC final state (LWW + delete semantics) on sf0.001."""
+    return q_cdc_final_state(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "lww_latest_state": q_lww_latest_state,
+        "cdc_final_state": q_cdc_final_state,
+        "event_type_stats": q_event_type_stats,
+        "hourly_activity": q_hourly_activity,
+        "running_total": q_running_total,
+        "dedup_events_exact": q_dedup_events_exact,
+        "pricing_summary": q_pricing_summary,
+        "top_customers": q_top_customers,
+        "nation_order_stats": q_nation_order_stats,
+        "parts_topk_per_type": q_parts_topk_per_type,
+        "customers_without_orders": q_customers_without_orders,
+        "union_high_value_parties": q_union_high_value_parties,
+        "doc_stats": q_doc_stats,
+        "doc_tokens": q_doc_tokens,
+        "doc_quality": q_doc_quality,
+        "doc_fingerprint": q_doc_fingerprint,
+        "docs_exact_dedup": q_docs_exact_dedup,
+        "ann_topk": q_ann_topk,
+        "embedding_label_stats": q_embedding_label_stats,
+        # rows-only (non-SQL-expressible)
+        "minhash_neardup": q_minhash_neardup,
+        "simhash_neardup": q_simhash_neardup,
+        "lsh_ann_topk": q_lsh_ann_topk,
+        "media_features": q_media_features,
+        "cdc_replay_pages": q_cdc_replay_pages,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop_sql = STOPWORD_RE  # identical regex text in both engines
+    punct_sql = PUNCT_RE
+    return {
+        "lww_latest_state": """
+            SELECT user_id, event_type AS last_type, value AS last_value,
+                   ts AS last_ts
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+                  FROM events)
+            WHERE rn = 1
+        """,
+        "cdc_final_state": """
+            SELECT user_id, event_type AS last_type, value AS last_value,
+                   ts AS last_ts
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+                  FROM events)
+            WHERE rn = 1 AND event_type <> 'error'
+        """,
+        "event_type_stats": """
+            SELECT event_type,
+                   count(*) AS n_events,
+                   count(DISTINCT user_id) AS n_users,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+                   max(ts) AS max_ts
+            FROM events GROUP BY event_type
+        """,
+        "hourly_activity": """
+            SELECT date_trunc('hour', ts) AS hour,
+                   count(*) AS n_events,
+                   count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY 1
+        """,
+        "running_total": """
+            SELECT event_id, user_id,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS DOUBLE) AS run_value
+            FROM events
+        """,
+        "dedup_events_exact": """
+            SELECT user_id, event_type, value,
+                   min(event_id) AS first_event_id
+            FROM events GROUP BY 1, 2, 3
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_customers": """
+            SELECT c_custkey, c_name,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+                   count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_custkey, c_name
+            ORDER BY revenue DESC, c_custkey ASC
+            LIMIT 10
+        """,
+        "nation_order_stats": """
+            SELECT n_name,
+                   count(*) AS n_orders,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       / count(*) AS avg_price
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "parts_topk_per_type": """
+            SELECT p_type, p_partkey, p_retailprice, rnk
+            FROM (SELECT p_type, p_partkey, p_retailprice,
+                         row_number() OVER (PARTITION BY p_type
+                             ORDER BY p_retailprice DESC, p_partkey ASC) AS rnk
+                  FROM part)
+            WHERE rnk <= 3
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "union_high_value_parties": """
+            SELECT c_name AS name, c_acctbal AS acctbal, 'customer' AS kind
+            FROM customer WHERE c_acctbal > 9000
+            UNION ALL
+            SELECT s_name AS name, s_acctbal AS acctbal, 'supplier' AS kind
+            FROM supplier WHERE s_acctbal > 9000
+        """,
+        "doc_stats": """
+            SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+                   min(doc_id) AS min_doc, max(doc_id) AS max_doc
+            FROM documents GROUP BY lang, source
+        """,
+        "doc_tokens": f"""
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   len(string_split(text, ' '))
+                     + len(regexp_extract_all(text, '{punct_sql}'))
+                     + CAST(floor(length(regexp_replace(text, '\\s', '', 'g')) / 6.0) AS BIGINT)
+                     AS n_bpe_tokens,
+                   length(text) AS n_chars_exact
+            FROM documents
+        """,
+        "doc_quality": f"""
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_words,
+                   len(regexp_extract_all(lower(text), '{stop_sql}')) AS n_stopwords,
+                   len(regexp_extract_all(text, '{punct_sql}')) AS n_punct,
+                   least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+                     + (CAST(len(regexp_extract_all(lower(text), '{stop_sql}')) AS DOUBLE)
+                        / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.4
+                     + greatest(0.0, 0.2
+                        - (CAST(len(regexp_extract_all(text, '{punct_sql}')) AS DOUBLE)
+                           / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.2)
+                     AS quality
+            FROM documents
+        """,
+        "doc_fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
+        "docs_exact_dedup": """
+            SELECT min(doc_id) AS keep_id, md5(text) AS text_fp
+            FROM documents GROUP BY text
+        """,
+        "ann_topk": """
+            WITH pairs AS (
+                SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+                       list_cosine_similarity(a.embedding, b.embedding) AS cos
+                FROM embeddings a, embeddings b
+                WHERE a.vec_id <> b.vec_id)
+            SELECT vec_id, neighbor_id, rnk
+            FROM (SELECT vec_id, neighbor_id, row_number() OVER (
+                      PARTITION BY vec_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
+                  FROM pairs)
+            WHERE rnk <= 5
+        """,
+        "embedding_label_stats": """
+            SELECT label, count(*) AS n_vecs, min(vec_id) AS min_vec,
+                   max(vec_id) AS max_vec
+            FROM embeddings GROUP BY label
+        """,
+    }

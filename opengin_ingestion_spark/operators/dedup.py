@@ -1,0 +1,266 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact, MinHash+LSH, SimHash, and n-gram-Jaccard dedup over a document
+table. Scale posture:
+
+* exact: one hash-aggregate (partial+final) on the dedup key — the same
+  shape as the reference's name-keyed aggregation
+  (/root/reference/python/src/opengin/tracer/agents/aggregator.py:42-84).
+* MinHash+LSH: shingle→minhash→band→bucket-join. Everything is built-in
+  expressions (explode / hash / min / groupBy); the only shuffles are the
+  signature aggregation and the band-bucket self-join, both on uniformly
+  hashed keys (no skew). Candidate pairs are verified by estimated Jaccard
+  (signature agreement) — at 100 TB you'd gate a final exact check on the
+  candidates only.
+* SimHash: 64-bit signature via a vectorized pandas UDF (numpy bit ops),
+  near-dup = signatures within Hamming distance k, found by pigeonhole
+  banding (k+1 bands, exact-match join on at least one band).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+# --- exact ------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Keep the smallest ``id_col`` per duplicate group (deterministic)."""
+    return df.groupBy(*key_cols).agg(F.min(id_col).alias(id_col)).select(
+        id_col, *key_cols
+    )
+
+
+# --- shingling ---------------------------------------------------------------
+
+def word_shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
+    """(id, shingle) pairs: k-word shingles, JVM-side via split+transform."""
+    words = F.split(F.col(text_col), " ")
+    n = F.size(words)
+    idxs = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
+    shingle_at = lambda i: F.concat_ws(" ", F.slice(words, i + 1, k))  # noqa: E731
+    shingles = F.transform(idxs, shingle_at)
+    return df.select(F.col(id_col), F.explode(shingles).alias("shingle")).distinct()
+
+
+# --- MinHash + LSH ------------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 32,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """One row per doc: ``sig`` = array of n_hashes minhash values.
+
+    All n minhashes are computed in ONE hash-aggregate pass over the
+    exploded shingles (n independent `min(hash(shingle, seed_i))` aggs) —
+    no per-hash shuffle, partial aggregation shrinks hot docs map-side.
+    """
+    sh = word_shingles(df, text_col, id_col, k=shingle_k)
+    aggs = [
+        F.min(F.hash(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    sig = sh.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        id_col, F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Near-duplicate candidate pairs (id_a < id_b, est_jaccard ≥ threshold).
+
+    Banding: split the signature into ``bands`` bands of r = n/bands rows;
+    docs sharing ANY band hash are candidates (classic MinHash-LSH, e.g.
+    Leskovec et al., Mining of Massive Datasets ch.3 — public knowledge).
+    """
+    r = n_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k)
+    band_rows = sig.select(
+        F.col(id_col),
+        F.col("sig"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.hash(
+                            *[F.col("sig")[i] for i in range(b * r, (b + 1) * r)]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "sig", "bb.band", "bb.bucket")
+
+    a = band_rows.alias("a")
+    b = band_rows.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda v: v,
+            )
+        ).cast("double")
+        / F.lit(float(n_hashes))
+    )
+    return (
+        cand.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+# --- SimHash -------------------------------------------------------------------
+
+@F.pandas_udf(T.LongType())
+def simhash64_udf(text: pd.Series) -> pd.Series:
+    """64-bit SimHash over whitespace tokens (vectorized numpy bit-voting)."""
+    out = np.zeros(len(text), dtype=np.int64)
+    for i, t in enumerate(text):
+        if t is None:
+            continue
+        words = t.split(" ")
+        if not words:
+            continue
+        # deterministic 64-bit word hashes (FNV-1a, pure numpy)
+        hs = np.zeros(len(words), dtype=np.uint64)
+        for j, w in enumerate(words):
+            h = np.uint64(0xCBF29CE484222325)
+            for ch in w.encode("utf-8"):
+                h = np.uint64((int(h) ^ ch) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
+            hs[j] = h
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+            np.int64
+        )
+        votes = (2 * bits - 1).sum(axis=0)
+        sig = np.uint64(0)
+        for b in range(64):
+            if votes[b] > 0:
+                sig |= np.uint64(1) << np.uint64(b)
+        out[i] = np.int64(sig.astype(np.int64))
+    return pd.Series(out)
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming, using the
+    pigeonhole trick: split 64 bits into (max_hamming+1) bands; any pair
+    within distance k agrees exactly on ≥1 band → exact-match band join."""
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+    sig = df.select(F.col(id_col), simhash64_udf(F.col(text_col)).alias("sim"))
+    bands = sig.select(
+        id_col,
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("sim"), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "sim", "bk.band", "bk.key")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.sim").alias("sim_a"),
+            F.col("b.sim").alias("sim_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# --- exact n-gram Jaccard -------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT Jaccard over word k-grams for all pairs sharing ≥1 shingle.
+    |A∩B| via a self-join on shingle; |A∪B| = |A|+|B|-|A∩B|. At scale this
+    runs on LSH candidates, not all pairs — here it doubles as the accuracy
+    oracle for minhash_lsh_pairs."""
+    sh = word_shingles(df, text_col, id_col, k=k)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
+    jac = (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double"),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")

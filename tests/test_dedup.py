@@ -1,0 +1,93 @@
+"""Dedup operator tests: exact, MinHash+LSH vs exact-Jaccard oracle,
+SimHash hamming, on constructed near-duplicate corpora."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from opengin_ingestion_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+    word_shingles,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and runs far away to the "
+    "market with fresh data from the web archive crawl index"
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = []
+    # family A: base + tiny perturbations → near-dups of each other
+    rows.append((0, BASE))
+    rows.append((1, BASE.replace("quick", "fast")))
+    rows.append((2, BASE + " extra tail words here"))
+    # family B: a different doc + its exact duplicate
+    other = "completely different content about spark engines and parquet files with nothing shared at all zero overlap whatsoever"
+    rows.append((3, other))
+    rows.append((4, other))
+    # unrelated docs
+    for i in range(5, 25):
+        rows.append((i, f"unique document number {i} talking about topic-{i} item-{i*7} subject-{i*13} matter-{i*29} theme-{i*31} focus-{i*37}"))
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(corpus):
+    out = exact_dedup(corpus, ["text"], "doc_id")
+    assert out.count() == 24  # 25 docs, one exact dup pair (3,4)
+    kept = {r["doc_id"] for r in out.collect()}
+    assert 3 in kept and 4 not in kept  # min id survives
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([(1, "a b c d")], ["doc_id", "text"])
+    got = {r["shingle"] for r in word_shingles(df, "text", "doc_id", k=3).collect()}
+    assert got == {"a b c", "b c d"}
+
+
+def test_minhash_exact_dup_similarity(corpus):
+    sig = minhash_signatures(corpus, n_hashes=32)
+    s = {r["doc_id"]: r["sig"] for r in sig.collect()}
+    assert s[3] == s[4]  # identical docs → identical signatures
+    agree = sum(1 for a, b in zip(s[0], s[1]) if a == b) / 32
+    assert agree > 0.5  # near-dups mostly agree
+    agree_far = sum(1 for a, b in zip(s[0], s[3]) if a == b) / 32
+    assert agree_far < 0.3  # unrelated docs don't
+
+
+def test_lsh_pairs_match_jaccard_oracle(corpus):
+    """LSH candidates at threshold .5 must contain every exact-Jaccard ≥ .7
+    pair (recall) and nothing below .3 (precision at the estimate level)."""
+    got = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_lsh_pairs(corpus, threshold=0.5).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(corpus, threshold=0.0).collect()
+    }
+    high = {p for p, j in exact.items() if j >= 0.7}
+    assert high <= set(got), f"missed high-jaccard pairs: {high - set(got)}"
+    for p in got:
+        assert exact.get(p, 0.0) >= 0.3, f"false positive {p}"
+
+
+def test_simhash_pairs(corpus):
+    pairs = {(r["id_a"], r["id_b"]) for r in simhash_pairs(corpus, max_hamming=6).collect()}
+    assert (3, 4) in pairs  # exact dup → hamming 0
+    # unrelated docs shouldn't collide at small hamming
+    assert all(not (a >= 5 and b >= 5 and a != b) or (a, b) == (3, 4) for a, b in pairs)
+
+
+def test_simhash_deterministic(spark, corpus):
+    from opengin_ingestion_spark.operators.dedup import simhash64_udf
+
+    a = corpus.select("doc_id", simhash64_udf("text").alias("s")).collect()
+    b = corpus.select("doc_id", simhash64_udf("text").alias("s")).collect()
+    assert sorted(a) == sorted(b)

@@ -1,0 +1,83 @@
+"""Replicates the driver's correctness gate locally: every oracle-backed
+``queries()`` entry must match its ``oracle_sql()`` on row count, column
+names, and EXACT values (order-insensitive) at sf0.01 — same bar as the
+driver's value-hash."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    return con
+
+
+def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.copy()
+    pdf = pdf[sorted(pdf.columns)]
+    for c in pdf.columns:
+        if pd.api.types.is_datetime64_any_dtype(pdf[c]):
+            s = pd.to_datetime(pdf[c])
+            if getattr(s.dt, "tz", None) is not None:
+                s = s.dt.tz_convert("UTC").dt.tz_localize(None)
+            pdf[c] = s
+        elif pdf[c].dtype == object:
+            pdf[c] = pdf[c].astype(str)
+    return pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
+
+
+ORACLE_QUERIES = sorted(entry_mod.oracle_sql().keys())
+
+
+def test_oracle_keys_subset_of_queries():
+    assert set(entry_mod.oracle_sql()) <= set(entry_mod.queries())
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_query_matches_oracle(spark, ddb, name):
+    q = entry_mod.queries()[name]
+    spark_pdf = _normalize(q(spark, SF_DIR).toPandas())
+    duck_pdf = _normalize(ddb.execute(entry_mod.oracle_sql()[name]).df())
+    assert list(spark_pdf.columns) == list(duck_pdf.columns), "column names differ"
+    assert len(spark_pdf) == len(duck_pdf), "row counts differ"
+    for c in spark_pdf.columns:
+        a, b = spark_pdf[c], duck_pdf[c]
+        if a.dtype.kind == "f" or b.dtype.kind == "f":
+            assert np.array_equal(
+                a.to_numpy(dtype="float64"), b.to_numpy(dtype="float64"),
+                equal_nan=True,
+            ), f"float column {c} differs (exact compare, like the driver hash)"
+        else:
+            pd.testing.assert_series_equal(a, b, check_dtype=False, check_names=False)
+
+
+def test_rows_only_queries_run(spark):
+    """Queries without an oracle still must run and return a stable schema."""
+    rows_only = set(entry_mod.queries()) - set(entry_mod.oracle_sql())
+    for name in sorted(rows_only):
+        df = entry_mod.queries()[name](spark, SF_DIR)
+        assert df.columns, name
+        assert df.count() >= 0, name
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    assert set(df.columns) == {"user_id", "last_type", "last_value", "last_ts"}
