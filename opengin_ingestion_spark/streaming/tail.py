@@ -65,7 +65,7 @@ def tail_changelog(
                     f"{dead_letter_dir}/batch_id={batch_id}"
                 )
             )
-        merge_batch(table, transform_changes(df), batch_id=batch_id)
+        merge_batch(table, df, batch_id=batch_id, transform=transform_changes)
 
     writer = stream.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", checkpoint_dir

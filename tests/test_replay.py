@@ -18,11 +18,15 @@ from opengin_ingestion_spark.sources.reader import read_changelog
 from tests.oracle import assert_states_equal, oracle_final_state
 
 
-def test_lww_agg_equals_window(spark, tiny_log):
+def test_lww_agg_equals_window_equals_semi(spark, tiny_log):
+    from opengin_ingestion_spark.operators.lww import lww_winners_semi
+
     df = read_changelog(spark, tiny_log["dir"]).withColumnRenamed("seq", "_seq")
     a = lww_winners(df).orderBy("url").collect()
     b = lww_winners_window(df).orderBy("url").collect()
+    c = lww_winners_semi(df).select(*a[0].asDict().keys()).orderBy("url").collect()
     assert a == b
+    assert sorted(map(tuple, a)) == sorted(map(tuple, c))
     # exactly one row per url
     assert len(a) == df.select("url").distinct().count()
 
@@ -60,8 +64,8 @@ def test_duplicate_delivery_idempotent(spark, tiny_log, tmp_path):
         spark, tiny_log["dir"], str(tmp_path / "pages"), n_buckets=16, group_files=4
     )
     v_before = table.current_version()
-    df = transform_changes(read_changelog(spark, tiny_log["dir"]))
-    res = merge_batch(table, df, batch_id=0)  # batch 0 already applied
+    df = read_changelog(spark, tiny_log["dir"])
+    res = merge_batch(table, df, batch_id=0, transform=transform_changes)
     assert res.skipped
     assert table.current_version() == v_before
     engine = table.read(include_internal=True).toPandas()
