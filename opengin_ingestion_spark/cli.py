@@ -1,0 +1,118 @@
+"""Status/maintenance CLI for GinTable — the engine's analog of the
+reference's run-inspection commands (`opengin tracer list-runs` /
+`status`, /root/reference/python/src/opengin/tracer/cli.py:58-131).
+
+Usage:
+    python -m opengin_ingestion_spark.cli info <table_path>
+    python -m opengin_ingestion_spark.cli history <table_path>
+    python -m opengin_ingestion_spark.cli metrics <table_path>
+    python -m opengin_ingestion_spark.cli gc <table_path> [--delete]
+    python -m opengin_ingestion_spark.cli compact <table_path> [--max-files N]
+
+`info`/`history`/`metrics`/`gc --dry-run` are driver-only (no Spark
+session — they read manifests); `compact` and `gc --delete` spin one up.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+from opengin_ingestion_spark.sources.gintable import GinTable
+
+
+def _manifests_only(path: str) -> GinTable:
+    # driver-only inspection: bypass load()'s spark requirement
+    t = GinTable.__new__(GinTable)
+    t.spark = None  # type: ignore[assignment]
+    import os
+
+    t.path = os.path.abspath(path)
+    t._manifest_dir = os.path.join(t.path, "_manifests")
+    if t.current_version() is None:
+        raise SystemExit(f"no GinTable at {path}")
+    return t
+
+
+def cmd_info(path: str) -> None:
+    t = _manifests_only(path)
+    snap = t.current_snapshot()
+    files = snap["files"]
+    print(
+        json.dumps(
+            {
+                "path": t.path,
+                "version": snap["version"],
+                "schema_version": snap["schema_version"],
+                "n_buckets": snap["n_buckets"],
+                "live_files": len(files),
+                "live_rows": sum(f["rows"] for f in files),
+                "live_bytes": sum(f["bytes"] for f in files),
+                "applied_batch_ranges": snap["applied_batch_ranges"],
+                "committed_at": snap["committed_at"],
+                "columns": [
+                    f["name"] for f in snap["schemas"][str(snap["schema_version"])]["fields"]
+                ],
+            },
+            indent=2,
+        )
+    )
+
+
+def cmd_history(path: str) -> None:
+    t = _manifests_only(path)
+    for snap in t.history():
+        m = snap.get("metrics", {})
+        print(
+            f'v{snap["version"]:05d} {snap["committed_at"]} '
+            f'batch={m.get("batch_id", "-")} events_in={m.get("events_in", "-")} '
+            f'rows_written={m.get("rows_written", "-")} '
+            f'buckets={m.get("buckets_rewritten", "-")} op={m.get("op", "merge")}'
+        )
+
+
+def cmd_metrics(path: str) -> None:
+    t = _manifests_only(path)
+    print(json.dumps([s.get("metrics", {}) for s in t.history()], indent=2))
+
+
+def cmd_gc(path: str, delete: bool) -> None:
+    t = _manifests_only(path)
+    orphans = t.gc_orphans(dry_run=not delete)
+    print(json.dumps({"orphans": orphans, "deleted": delete}))
+
+
+def cmd_compact(path: str, max_files: int) -> None:
+    from opengin_ingestion_spark.operators.compact import compact
+    from opengin_ingestion_spark.session import get_spark
+
+    spark = get_spark(app_name="compact")
+    t = GinTable.load(spark, path)
+    snap = compact(t, max_files_per_bucket=max_files)
+    print(json.dumps({"version": snap["version"], "metrics": snap.get("metrics", {})}))
+
+
+def main(argv: list[str] | None = None) -> None:
+    args = list(argv if argv is not None else sys.argv[1:])
+    if len(args) < 2:
+        print(__doc__)
+        raise SystemExit(2)
+    cmd, path = args[0], args[1]
+    if cmd == "info":
+        cmd_info(path)
+    elif cmd == "history":
+        cmd_history(path)
+    elif cmd == "metrics":
+        cmd_metrics(path)
+    elif cmd == "gc":
+        cmd_gc(path, "--delete" in args)
+    elif cmd == "compact":
+        mf = int(args[args.index("--max-files") + 1]) if "--max-files" in args else 4
+        cmd_compact(path, mf)
+    else:
+        print(__doc__)
+        raise SystemExit(2)
+
+
+if __name__ == "__main__":
+    main()

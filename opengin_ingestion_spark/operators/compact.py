@@ -1,0 +1,56 @@
+"""Table maintenance: small-file compaction for GinTable buckets.
+
+A long-running incremental-ingest table accumulates one file per bucket
+per touched batch. Compaction rewrites fragmented buckets back to one file
+each, in a normal copy-on-write commit (snapshot isolation: readers of the
+old snapshot are unaffected; the commit is atomic and conflict-checked).
+
+Scale posture: compaction is scheduled per-bucket by a fragmentation
+threshold, so the work is proportional to fragmentation, not table size —
+the same strategy as Iceberg's bin-packing rewriteDataFiles (public
+knowledge). Reference analog: the reference's exporter rewrites whole
+outputs each run (exporter.py:28-103); here rewrite is surgical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from opengin_ingestion_spark.sources.gintable import BUCKET_COL, GinTable
+
+
+def fragmented_buckets(table: GinTable, max_files_per_bucket: int = 4) -> set[int]:
+    """Buckets whose live-file count exceeds the threshold."""
+    snap = table.current_snapshot()
+    counts: dict[int, int] = {}
+    for f in snap["files"]:
+        counts[f["bucket"]] = counts.get(f["bucket"], 0) + 1
+    return {b for b, n in counts.items() if n > max_files_per_bucket}
+
+
+def compact(table: GinTable, max_files_per_bucket: int = 4) -> dict:
+    """Rewrite fragmented buckets to one file each. Returns the new
+    snapshot (or the current one if nothing to do)."""
+    snap = table.current_snapshot()
+    buckets = fragmented_buckets(table, max_files_per_bucket)
+    if not buckets:
+        return snap
+    rows = (
+        table.read(snap, buckets=buckets, include_internal=True)
+        .withColumn(BUCKET_COL, table.bucket_expr("url", snap))
+        .repartition(len(buckets), F.col(BUCKET_COL))
+    )
+    new_files = table.write_data_files(
+        rows, snap["version"] + 1, snap["schema_version"]
+    )
+    return table.commit(
+        new_files,
+        replaced_buckets=buckets,
+        batch_ids=[],
+        metrics={
+            "op": "compact",
+            "buckets_compacted": len(buckets),
+            "files_written": len(new_files),
+        },
+        expected_parent=snap["version"],
+    )

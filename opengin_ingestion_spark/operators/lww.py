@@ -50,6 +50,7 @@ def lww_winners_semi(
     key: str = "url",
     ts: str = "warc_ts",
     seq: str = "_seq",
+    broadcast: bool = True,
 ) -> DataFrame:
     """Payload-free LWW: aggregate ONLY (key, ts, seq) to find winner seqs,
     then join back to recover winner rows.
@@ -71,6 +72,13 @@ def lww_winners_semi(
         .agg(F.max(F.struct(F.col(ts), F.col(seq))).alias("_k"))
         .select(F.col(f"_k.{seq}").alias(seq))
     )
+    if broadcast:
+        # Force BHJ: the winner-key set of a micro-batch (8 bytes/url) fits
+        # memory far beyond the 10MB auto threshold, and the alternative is
+        # a sort-merge join that shuffles the full payload — exactly what
+        # this operator exists to avoid. Callers with giant batches (full-
+        # history replays of >100M distinct keys per batch) pass False.
+        winner_seqs = F.broadcast(winner_seqs)
     return df.join(winner_seqs, seq)
 
 

@@ -52,7 +52,6 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from opengin_ingestion_spark.operators.evolution import align_to_schema, evolve_schema
-from opengin_ingestion_spark.operators.lww import lww_winners, lww_winners_semi
 from opengin_ingestion_spark.sources.gintable import (
     BUCKET_COL,
     DELETED_COL,
@@ -78,16 +77,26 @@ def merge_batch(
     key: str = "url",
     ts: str = "warc_ts",
     seq: str = "seq",
-    transform: Callable[[DataFrame], DataFrame] | None = None,
+    pandas_transform: Callable | None = None,
+    transform_fields: list[T.StructField] | None = None,
     max_retries: int = 3,
 ) -> MergeResult:
     """Apply one RAW change batch (columns: op 'I'|'U'|'D'; seq; key; ts;
-    payload...) to the table. ``transform`` (the vectorized extract/derive
-    stage) runs on within-batch winners only. Idempotent per ``batch_id``."""
+    payload...) to the table. Idempotent per ``batch_id``.
+
+    ``pandas_transform(pdf) -> pdf`` is the vectorized derive stage (e.g.
+    HTML→text extraction); it runs bucket-locally on final winner rows only
+    — never on superseded revisions, never on unchanged target rows.
+    ``transform_fields`` declares the columns it adds (for schema
+    evolution), e.g. ``[StructField("text", StringType())]``.
+    """
     last_err: Exception | None = None
     for _attempt in range(max_retries):
         try:
-            return _merge_once(table, batch_df, batch_id, key, ts, seq, transform)
+            return _merge_once(
+                table, batch_df, batch_id, key, ts, seq,
+                pandas_transform, transform_fields,
+            )
         except CommitConflict as e:  # concurrent writer won — recompute on top
             last_err = e
     raise last_err  # type: ignore[misc]
@@ -100,8 +109,13 @@ def _merge_once(
     key: str,
     ts: str,
     seq: str,
-    transform: Callable[[DataFrame], DataFrame] | None,
+    pandas_transform: Callable | None,
+    transform_fields: list[T.StructField] | None,
 ) -> MergeResult:
+    import os as _os
+
+    _dbg = _os.environ.get("OPENGIN_MERGE_DEBUG")
+
     snap = table.current_snapshot()
     if table.is_batch_applied(batch_id, snap):
         return MergeResult(skipped=True, version=snap["version"])
@@ -128,6 +142,8 @@ def _merge_once(
         )
         .collect()
     )
+    if _dbg:
+        print(f"[merge {batch_id}] action1_stats: {time.time()-t_start:.2f}s", flush=True)
     touched = {r[BUCKET_COL] for r in in_stats}
     events_in = sum(r["events"] for r in in_stats)
     bytes_in = sum(r["bytes"] or 0 for r in in_stats)
@@ -144,69 +160,92 @@ def _merge_once(
         )
         return MergeResult(skipped=False, version=new_snap["version"])
 
-    # --- within-batch winnow (payload never shuffles), dupe-row dedupe ------
-    winnowed = lww_winners_semi(batch_df, key=key, ts=ts, seq=seq)
-    winnowed = winnowed.dropDuplicates([seq])  # duplicate file delivery
-
-    # --- vectorized transform on winners only --------------------------------
-    if transform is not None:
-        winnowed = transform(winnowed)
-
-    # --- schema evolution decision (user columns of the transformed batch) ---
+    # --- schema evolution decision: raw batch columns + transform-declared --
     batch_user = T.StructType(
-        [f for f in winnowed.schema.fields if f.name not in (OP_COL, seq)]
+        [f for f in batch_df.schema.fields if f.name not in (OP_COL, seq)]
+        + list(transform_fields or [])
     )
     evolved_user = evolve_schema(table.schema(snap), batch_user)
     stored_schema = GinTable._with_internal(evolved_user)
     schema_changed = stored_schema != table.schema(snap, include_internal=True)
     schema_version = snap["schema_version"] + (1 if schema_changed else 0)
 
-    updates = winnowed.withColumnRenamed(seq, SEQ_COL)
-    updates = align_to_schema(
-        updates,
-        T.StructType(
-            [T.StructField(OP_COL, T.StringType(), False)] + list(stored_schema.fields)
-        ),
+    aligned_schema = T.StructType(
+        [T.StructField(OP_COL, T.StringType(), True)] + list(stored_schema.fields)
     )
-    updates = updates.withColumn(BUCKET_COL, table.bucket_expr(key, snap))
+    updates = align_to_schema(batch_df.withColumnRenamed(seq, SEQ_COL), aligned_schema)
 
     # --- read ONLY touched buckets of the current snapshot ------------------
     # (include_internal keeps tombstones: they must participate in LWW so a
     # late out-of-order event cannot resurrect a deleted url)
     target = table.read(snap, buckets=touched, include_internal=True)
-    target = align_to_schema(target, stored_schema)
-    target = (
-        target.withColumn(
-            OP_COL,
-            F.when(F.coalesce(F.col(DELETED_COL), F.lit(False)), F.lit("D")).otherwise(
-                F.lit("I")
-            ),
-        )
-        .withColumn(BUCKET_COL, table.bucket_expr(key, snap))
-        .select(*updates.columns)
+    target = align_to_schema(target, stored_schema).withColumn(
+        OP_COL,
+        F.when(F.coalesce(F.col(DELETED_COL), F.lit(False)), F.lit("D")).otherwise(
+            F.lit("I")
+        ),
     )
 
-    # --- cross LWW: existing state vs batch winners (one hash aggregate;
-    # also dedupes an event present on both sides after a re-delivery) -------
-    combined = target.unionByName(updates)
-    final_all = lww_winners(combined, key=key, ts=ts, seq=SEQ_COL)
-    # deletes become tombstones: payload nulled, (warc_ts, _seq) retained
+    # --- THE shuffle: everything co-located by url-hash bucket ---------------
+    # One payload shuffle total (it is required for the bucketed write
+    # anyway); LWW, tombstoning and the vectorized transform then all run
+    # partition-locally with zero further exchanges, no broadcast build, no
+    # driver involvement. (Replaces the earlier winnow-join + max_by design,
+    # whose per-action broadcast of large winner-key sets was measured to
+    # anti-scale at high thread counts.)
+    combined = target.select(*updates.columns).unionByName(updates)
+    combined = combined.withColumn(BUCKET_COL, table.bucket_expr(key, snap))
+    bucketed = combined.repartition(len(touched), F.col(BUCKET_COL))
+
     payload_cols = [
         f.name
         for f in stored_schema.fields
         if f.name not in (key, ts) and not f.name.startswith("_")
     ]
-    final = final_all.withColumn(DELETED_COL, F.col(OP_COL) == "D")
-    for c in payload_cols:
-        final = final.withColumn(
-            c, F.when(F.col(DELETED_COL), F.lit(None)).otherwise(F.col(c))
-        )
-    final = final.drop(OP_COL)
-
-    # --- action 2: copy-on-write rewrite of touched buckets ------------------
-    new_files = table.write_data_files(
-        final, snap["version"] + 1, schema_version, n_partitions=len(touched)
+    out_fields = [T.StructField(BUCKET_COL, T.IntegerType(), False)] + list(
+        stored_schema.fields
     )
+    out_schema = T.StructType(out_fields)
+    out_cols = [f.name for f in out_fields]
+
+    def merge_partition(batches):
+        import pandas as pd  # executor-side
+
+        pdfs = list(batches)
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        if pdf.empty:
+            return
+        # partition-local LWW: whole-row winner per key by (ts, seq).
+        # Duplicate delivery → identical rows tie on (ts, seq); keep='last'
+        # picks one, content-equal either way.
+        pdf = pdf.sort_values([ts, SEQ_COL], kind="mergesort").drop_duplicates(
+            subset=[key], keep="last"
+        )
+        deleted = pdf[OP_COL].to_numpy() == "D"
+        pdf = pdf.copy()
+        pdf[DELETED_COL] = deleted
+        if deleted.any():
+            for c in payload_cols:
+                # object dtype first: numeric pandas columns would upcast
+                # None→NaN→float64 and break the Arrow cast back to long
+                pdf[c] = pdf[c].astype(object)
+                pdf.loc[deleted, c] = None
+        if pandas_transform is not None:
+            pdf = pandas_transform(pdf)
+        yield pdf[out_cols]
+
+    merged = bucketed.mapInPandas(merge_partition, schema=out_schema)
+
+    # --- action 2: copy-on-write rewrite of touched buckets (already
+    # bucket-partitioned — the write does not shuffle again) ------------------
+    t_w = time.time()
+    new_files = table.write_data_files(
+        merged, snap["version"] + 1, schema_version, n_partitions=None
+    )
+    if _dbg:
+        print(f"[merge {batch_id}] action2_write: {time.time()-t_w:.2f}s", flush=True)
 
     lineage = [
         {

@@ -147,7 +147,7 @@ def lsh_ann_topk(
     planes = make_hyperplanes(dim, n_planes, seed)
     bucketed = corpus.select(
         F.col(id_col), F.col(vec_col), _bucket_udf(planes)(F.col(vec_col)).alias("b")
-    )
+    ).localCheckpoint(eager=True)  # barrier: self-joined twice below
     # multi-probe: each vector also probes the n_planes buckets one bit away
     probes = bucketed.select(
         id_col,

@@ -38,6 +38,34 @@ PAGES_SCHEMA = T.StructType(
 )
 
 
+# Columns the transform stage derives (declared for schema evolution).
+TRANSFORM_FIELDS = [
+    T.StructField("text", T.StringType(), True),
+    T.StructField("lang", T.StringType(), True),
+]
+
+
+def pages_pandas_transform(pdf):
+    """Bucket-local vectorized derive stage, run by merge_batch on FINAL
+    winner rows only: extract text for rows that arrived from the batch
+    (text still null), detect lang where absent. Unchanged target rows and
+    tombstones are left untouched — extraction work is proportional to
+    changed live rows, not bucket size."""
+    from opengin_ingestion_spark.functions.extract import (
+        detect_lang_series,
+        extract_text_series,
+    )
+
+    live = ~pdf["_deleted"].astype(bool)
+    need_text = live & pdf["text"].isna() & pdf["html"].notna()
+    if need_text.any():
+        pdf.loc[need_text, "text"] = extract_text_series(pdf.loc[need_text, "html"])
+    need_lang = live & pdf["lang"].isna() & pdf["text"].notna()
+    if need_lang.any():
+        pdf.loc[need_lang, "lang"] = detect_lang_series(pdf.loc[need_lang, "text"])
+    return pdf
+
+
 def transform_changes(
     df: DataFrame,
     shuffle_partitions: int | None = None,
@@ -96,7 +124,11 @@ def replay_changelog(
     if group_files is None:
         df = read_changelog(spark, log_dir)
         results.append(
-            merge_batch(table, df, batch_id=batch_id, transform=transform_changes)
+            merge_batch(
+                table, df, batch_id=batch_id,
+                pandas_transform=pages_pandas_transform,
+                transform_fields=TRANSFORM_FIELDS,
+            )
         )
     else:
         files = sorted(
@@ -115,7 +147,8 @@ def replay_changelog(
                     table,
                     df,
                     batch_id=batch_id + i // group_files,
-                    transform=transform_changes,
+                    pandas_transform=pages_pandas_transform,
+                    transform_fields=TRANSFORM_FIELDS,
                 )
             )
     return table, results

@@ -48,6 +48,16 @@ def get_spark(
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # local-mode shuffle spills through this dir; tmpfs is the sandbox
+        # stand-in for the per-executor NVMe a real cluster would mount
+        # (measured 3-6x faster multi-threaded shuffle than /tmp-on-disk)
+        .config(
+            "spark.local.dir",
+            os.environ.get(
+                "SPARK_LOCAL_DIRS",
+                "/dev/shm/spark_local" if os.path.isdir("/dev/shm") else "/tmp",
+            ),
+        )
         # file-source streaming: don't keep unbounded file listing state
         .config("spark.sql.streaming.fileSource.log.compactInterval", "10")
     )

@@ -25,7 +25,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
 from opengin_ingestion_spark.operators.merge import merge_batch
-from opengin_ingestion_spark.plans.replay import PAGES_SCHEMA, transform_changes
+from opengin_ingestion_spark.plans.replay import (
+    PAGES_SCHEMA,
+    TRANSFORM_FIELDS,
+    pages_pandas_transform,
+)
 from opengin_ingestion_spark.sources.gintable import GinTable
 from opengin_ingestion_spark.sources.reader import read_changelog_stream
 
@@ -65,7 +69,11 @@ def tail_changelog(
                     f"{dead_letter_dir}/batch_id={batch_id}"
                 )
             )
-        merge_batch(table, df, batch_id=batch_id, transform=transform_changes)
+        merge_batch(
+            table, df, batch_id=batch_id,
+            pandas_transform=pages_pandas_transform,
+            transform_fields=TRANSFORM_FIELDS,
+        )
 
     writer = stream.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", checkpoint_dir

@@ -1,0 +1,82 @@
+"""Compaction + CLI maintenance tests."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from opengin_ingestion_spark.cli import main as cli_main
+from opengin_ingestion_spark.operators.compact import compact, fragmented_buckets
+from opengin_ingestion_spark.plans.replay import replay_changelog
+from opengin_ingestion_spark.sources.gintable import GinTable
+from tests.oracle import assert_states_equal, oracle_final_state
+
+
+@pytest.fixture(scope="module")
+def fragmented_table(spark, tiny_log, tmp_path_factory):
+    """Replay, then fragment by APPEND commits (the merge path itself keeps
+    a one-file-per-bucket copy-on-write invariant — fragmentation arises
+    only from append-style commits, so construct those directly)."""
+    from pyspark.sql import functions as F
+
+    from opengin_ingestion_spark.sources.gintable import BUCKET_COL
+
+    path = str(tmp_path_factory.mktemp("frag") / "pages")
+    table, _ = replay_changelog(spark, tiny_log["dir"], path, n_buckets=8)
+    base = table.read(include_internal=True).withColumn(
+        BUCKET_COL, table.bucket_expr("url")
+    )
+    # 6 appends of disjoint tiny slices → multi-file buckets
+    for i in range(6):
+        part = base.filter(F.pmod(F.xxhash64("_seq"), F.lit(6)) == i).limit(20)
+        files = table.write_data_files(part, table.current_version() + 1, 1)
+        table.commit(files, replaced_buckets=set(), batch_ids=[])
+    return table
+
+
+def test_merge_keeps_buckets_compact(spark, tiny_log, tmp_path):
+    """The COW merge itself never fragments: after 8 incremental merges,
+    every bucket is exactly one live file."""
+    table, _ = replay_changelog(
+        spark, tiny_log["dir"], str(tmp_path / "p"), n_buckets=8, group_files=1
+    )
+    assert not fragmented_buckets(table, max_files_per_bucket=1)
+
+
+def test_compact_restores_one_file_per_bucket(spark, fragmented_table):
+    table = fragmented_table
+    assert fragmented_buckets(table, max_files_per_bucket=4)
+    rows_before = sorted(map(tuple, table.read(include_internal=True).collect()))
+    files_before = len(table.current_snapshot()["files"])
+    snap = compact(table, max_files_per_bucket=1)
+    assert snap["metrics"]["op"] == "compact"
+    assert len(table.current_snapshot()["files"]) < files_before
+    assert not fragmented_buckets(table, max_files_per_bucket=1)
+    # table contents byte-for-byte unchanged
+    rows_after = sorted(map(tuple, table.read(include_internal=True).collect()))
+    assert rows_after == rows_before
+    # idempotent: nothing left to compact
+    v = table.current_version()
+    compact(table, max_files_per_bucket=1)
+    assert table.current_version() == v
+
+
+def test_cli_info_history_gc(fragmented_table, capsys):
+    path = fragmented_table.path
+    cli_main(["info", path])
+    info = json.loads(capsys.readouterr().out)
+    assert info["live_rows"] > 0 and info["version"] >= 1
+    assert "url" in info["columns"]
+
+    cli_main(["history", path])
+    out = capsys.readouterr().out
+    assert out.count("\n") == fragmented_table.current_version() + 1
+
+    cli_main(["gc", path])
+    gc = json.loads(capsys.readouterr().out)
+    assert gc["deleted"] is False
+
+    cli_main(["metrics", path])
+    metrics = json.loads(capsys.readouterr().out)
+    assert any(m.get("events_in") for m in metrics)

@@ -64,8 +64,16 @@ def test_duplicate_delivery_idempotent(spark, tiny_log, tmp_path):
         spark, tiny_log["dir"], str(tmp_path / "pages"), n_buckets=16, group_files=4
     )
     v_before = table.current_version()
+    from opengin_ingestion_spark.plans.replay import (
+        TRANSFORM_FIELDS,
+        pages_pandas_transform,
+    )
+
     df = read_changelog(spark, tiny_log["dir"])
-    res = merge_batch(table, df, batch_id=0, transform=transform_changes)
+    res = merge_batch(
+        table, df, batch_id=0,
+        pandas_transform=pages_pandas_transform, transform_fields=TRANSFORM_FIELDS,
+    )
     assert res.skipped
     assert table.current_version() == v_before
     engine = table.read(include_internal=True).toPandas()
