@@ -103,6 +103,22 @@ def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ordered_event_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: ordered collect — per-key event-type sequence in (ts, seq) order
+    (the reference's page-ordered row concatenation, aggregator.py:82-84).
+    Serialized to a string so the oracle comparison is unambiguous."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.concat_ws(
+            "|",
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).getField("event_type"),
+        ).alias("type_seq"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 def q_dedup_events_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: first event id per identical (user, type, value)."""
     ev = _t(spark, sf_dir, "events")
@@ -320,6 +336,60 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fragment_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2/A3: keyed fragment aggregation with schema-variant forking
+    (reference aggregator.py:42-96), exercised by recasting documents as
+    per-page table fragments keyed by source. Rows-only check (nested
+    array-of-array output)."""
+    from opengin_ingestion_spark.operators.aggregate_tables import (
+        aggregate_table_fragments,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    frags = docs.select(
+        F.col("doc_id").cast("int").alias("page_num"),
+        F.col("source").alias("table_name"),
+        # two schema variants per source: short docs lack the lang column
+        F.when(
+            F.col("n_chars") < 200, F.array(F.lit("n_chars"))
+        ).otherwise(F.array(F.lit("n_chars"), F.lit("lang"))).alias("columns"),
+        F.when(
+            F.col("n_chars") < 200,
+            F.array(F.array(F.col("n_chars").cast("string"))),
+        ).otherwise(
+            F.array(F.array(F.col("n_chars").cast("string"), F.col("lang")))
+        ).alias("rows"),
+    )
+    out = aggregate_table_fragments(frags)
+    return out.select(
+        "table_name", "variant", "name_variant", "n_fragments", "n_rows",
+        F.concat_ws("|", F.col("columns")).alias("columns_str"),
+    )
+
+
+def q_parse_responses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1-P3: fence-strip + JSON parse + shape normalization + error
+    capture, over synthesized LLM-style responses (rows-only check)."""
+    from opengin_ingestion_spark.functions.json_parse import parse_tables
+
+    docs = _t(spark, sf_dir, "documents")
+    resp = docs.select(
+        "doc_id",
+        F.format_string(
+            '```json\n{"tables": [{"id": "t%s", "name": "%s", '
+            '"columns": ["lang"], "rows": [["%s"]]}]}\n```',
+            F.col("doc_id"), F.col("source"), F.col("lang"),
+        ).alias("raw_response"),
+    )
+    parsed = resp.withColumn("tables", parse_tables("raw_response"))
+    return parsed.select(
+        "doc_id",
+        F.col("tables")[0]["name"].alias("table_name"),
+        F.col("tables")[0]["rows"][0][0].alias("first_cell"),
+        F.size("tables").alias("n_tables"),
+    )
+
+
 def q_cdc_replay_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THE engine end-to-end: deterministic synthetic change log →
     streaming-equivalent batch replay → final `pages` GinTable. Rows-only
@@ -361,6 +431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_activity": q_hourly_activity,
         "running_total": q_running_total,
         "dedup_events_exact": q_dedup_events_exact,
+        "ordered_event_log": q_ordered_event_log,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "nation_order_stats": q_nation_order_stats,
@@ -379,6 +450,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": q_simhash_neardup,
         "lsh_ann_topk": q_lsh_ann_topk,
         "media_features": q_media_features,
+        "fragment_aggregation": q_fragment_aggregation,
+        "parse_responses": q_parse_responses,
         "cdc_replay_pages": q_cdc_replay_pages,
     }
 
@@ -429,6 +502,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, event_type, value,
                    min(event_id) AS first_event_id
             FROM events GROUP BY 1, 2, 3
+        """,
+        "ordered_event_log": """
+            SELECT user_id,
+                   array_to_string(
+                       array_agg(event_type ORDER BY ts, event_id), '|'
+                   ) AS type_seq,
+                   count(*) AS n_events
+            FROM events GROUP BY user_id
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

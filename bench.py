@@ -43,6 +43,9 @@ HEADLINE = [
     "simhash_neardup",
     "ann_topk",
     "media_features",
+    "ordered_event_log",
+    "fragment_aggregation",
+    "parse_responses",
 ]
 
 
