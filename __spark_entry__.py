@@ -313,6 +313,15 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk(emb, k=5, n_planes=8).withColumnRenamed("rank", "rnk")
 
 
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via hyperplane-LSH candidates +
+    exact verification (rows-only: candidate set is probe-dependent)."""
+    from opengin_ingestion_spark.operators.similarity import embedding_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(emb, threshold=0.95)
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing over driver data: document text re-cast as an
     opaque binary payload → mapInPandas feature extraction (decode stubbed
@@ -449,6 +458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_neardup": q_minhash_neardup,
         "simhash_neardup": q_simhash_neardup,
         "lsh_ann_topk": q_lsh_ann_topk,
+        "embedding_neardup": q_embedding_neardup,
         "media_features": q_media_features,
         "fragment_aggregation": q_fragment_aggregation,
         "parse_responses": q_parse_responses,

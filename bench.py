@@ -53,6 +53,19 @@ def _run_to_noop(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _warmup(spark, sf_dir: str) -> None:
+    """Spin up JVM stages + the Python UDF worker pool once so per-query
+    numbers measure the queries, not session cold-start."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    _noop_udf = F.pandas_udf(lambda s: s, T.LongType())
+
+    df = spark.range(100_000)
+    df.select(F.sum(_noop_udf("id"))).collect()
+    spark.read.parquet(os.path.join(sf_dir, "events.parquet")).limit(1000).count()
+
+
 def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     qs = entry_mod.queries()
     times: dict[str, float] = {}
@@ -97,7 +110,7 @@ def bench_cdc_replay(spark, n_events: int, n_urls: int) -> dict[str, float]:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
-    n_events = int(os.environ.get("BENCH_EVENTS", 200_000))
+    n_events = int(os.environ.get("BENCH_EVENTS", 500_000))
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = get_spark(
         app_name="bench",
@@ -105,6 +118,7 @@ def main() -> None:
         shuffle_partitions=cpus,
     )
 
+    _warmup(spark, sf_dir)
     queries: dict[str, float] = {}
     cdc: dict[str, float] = {}
     if not os.environ.get("BENCH_CDC_ONLY"):

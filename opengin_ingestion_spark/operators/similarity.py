@@ -111,6 +111,56 @@ def brute_force_topk(
     )
 
 
+def embedding_neardup_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ threshold).
+
+    Scale path: hyperplane-LSH bucketing (near-identical vectors share
+    sign buckets with overwhelming probability at high thresholds) +
+    exact cosine verification within candidates — the vector analog of
+    MinHash-LSH text dedup."""
+    dim = len(corpus.select(vec_col).first()[0])
+    planes = make_hyperplanes(dim, n_planes, seed)
+    bucketed = corpus.select(
+        F.col(id_col), F.col(vec_col), _bucket_udf(planes)(F.col(vec_col)).alias("b")
+    ).localCheckpoint(eager=True)
+    probes = bucketed.select(
+        id_col, vec_col,
+        F.explode(
+            F.array(
+                F.col("b"),
+                *[
+                    F.col("b").bitwiseXOR(F.lit(1 << p)).cast("long")
+                    for p in range(n_planes)
+                ],
+            )
+        ).alias("pb"),
+    )
+    a = probes.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col("pb").alias("b")
+    )
+    c = bucketed.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col("b")
+    )
+    cand = (
+        a.join(c, "b")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "va", "vb")
+        .distinct()
+    )
+    return (
+        cand.withColumn("cos", _cosine("va", "vb"))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
 def make_hyperplanes(dim: int, n_planes: int = 12, seed: int = 42) -> np.ndarray:
     """Deterministic random hyperplanes (public random-projection LSH)."""
     rng = np.random.RandomState(seed)

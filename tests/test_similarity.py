@@ -71,3 +71,17 @@ def test_lsh_ann_recall_on_clustered_data(spark):
     approx = {(r["vec_id"], r["neighbor_id"]) for r in lsh_ann_topk(df, k=5, n_planes=8).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.9, f"recall@5 too low on clustered data: {recall}"
+
+
+def test_embedding_neardup_pairs(spark, vecs):
+    """Planted near-identical vectors (cos ≈ 1) are found as near-dup
+    pairs; unrelated random vectors are not."""
+    from opengin_ingestion_spark.operators.similarity import embedding_neardup_pairs
+
+    df, m = vecs
+    pairs = {(r["id_a"], r["id_b"]): r["cos"] for r in
+             embedding_neardup_pairs(df, threshold=0.98).collect()}
+    for i in range(10):
+        assert (i, 100 + i) in pairs and pairs[(i, 100 + i)] > 0.99
+    # random 16-dim gaussians essentially never reach cos 0.98
+    assert len(pairs) == 10
