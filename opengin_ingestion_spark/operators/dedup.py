@@ -120,13 +120,12 @@ def minhash_lsh_pairs(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
-        .distinct()
+        # a pair colliding in several bands is still ONE candidate; dedupe
+        # on the id pair (cheap keys), not on the signature arrays
+        .agg(F.first(F.col("a.sig")).alias("sig_a"), F.first(F.col("b.sig")).alias("sig_b"))
     )
     est = (
         F.size(
@@ -231,13 +230,10 @@ def simhash_pairs(
             & (F.col("a.key") == F.col("b.key"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.sim").alias("sim_a"),
-            F.col("b.sim").alias("sim_b"),
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
-        .distinct()
+        .agg(F.first(F.col("a.sim")).alias("sim_a"), F.first(F.col("b.sim")).alias("sim_b"))
     )
     ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return (

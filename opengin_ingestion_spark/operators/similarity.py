@@ -151,8 +151,8 @@ def embedding_neardup_pairs(
     cand = (
         a.join(c, "b")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "va", "vb")
-        .distinct()
+        .groupBy("id_a", "id_b")  # dedupe multi-probe hits on cheap keys
+        .agg(F.first("va").alias("va"), F.first("vb").alias("vb"))
     )
     return (
         cand.withColumn("cos", _cosine("va", "vb"))
@@ -222,8 +222,8 @@ def lsh_ann_topk(
     cand = (
         q.join(a, "b")
         .filter(F.col("q_id") != F.col("c_id"))
-        .select("q_id", "q_vec", "c_id", "c_vec")
-        .distinct()
+        .groupBy("q_id", "c_id")  # dedupe multi-probe hits on cheap keys
+        .agg(F.first("q_vec").alias("q_vec"), F.first("c_vec").alias("c_vec"))
     )
     scored = cand.withColumn("cos", _cosine("q_vec", "c_vec"))
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
