@@ -71,6 +71,11 @@ def evolve_schema(current: T.StructType, incoming: T.StructType) -> T.StructType
     new columns in incoming order — stable, append-only evolution, like
     Iceberg field-id semantics.
     """
+    # defensive: collapse duplicate incoming names (first occurrence wins)
+    seen: set[str] = set()
+    incoming = T.StructType(
+        [f for f in incoming.fields if not (f.name in seen or seen.add(f.name))]
+    )
     cur = {f.name: f for f in current.fields}
     out: list[T.StructField] = []
     for f in current.fields:

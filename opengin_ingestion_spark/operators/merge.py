@@ -160,11 +160,16 @@ def _merge_once(
         )
         return MergeResult(skipped=False, version=new_snap["version"])
 
-    # --- schema evolution decision: raw batch columns + transform-declared --
-    batch_user = T.StructType(
-        [f for f in batch_df.schema.fields if f.name not in (OP_COL, seq)]
-        + list(transform_fields or [])
-    )
+    # --- schema evolution decision: raw batch columns + transform-declared
+    # (name-deduped: the batch may ALREADY carry a column the transform
+    # also declares, e.g. a post-evolution log with `lang`) ------------------
+    _seen: set[str] = set()
+    _fields: list[T.StructField] = []
+    for f in list(batch_df.schema.fields) + list(transform_fields or []):
+        if f.name not in (OP_COL, seq) and f.name not in _seen:
+            _fields.append(f)
+            _seen.add(f.name)
+    batch_user = T.StructType(_fields)
     evolved_user = evolve_schema(table.schema(snap), batch_user)
     stored_schema = GinTable._with_internal(evolved_user)
     schema_changed = stored_schema != table.schema(snap, include_internal=True)

@@ -121,3 +121,19 @@ def test_dead_letter_split(spark, tiny_log, tmp_path):
     table = GinTable.load(spark, str(tmp_path / "pages"))
     engine = table.read(include_internal=True).toPandas()
     assert_states_equal(engine, oracle_final_state(tiny_log["dir"]))
+
+
+def test_streaming_over_evolving_log(spark, evolving_log, tmp_path):
+    """Regression: streaming the whole evolving log (source schema already
+    includes `lang`, which the transform also declares) must not produce a
+    duplicate column — final state matches the oracle."""
+    q = tail_changelog(
+        spark, evolving_log["dir"], str(tmp_path / "pages"), str(tmp_path / "ckpt"),
+        n_buckets=16, max_files_per_trigger=3, available_now=True,
+    )
+    assert q.awaitTermination(300)
+    table = GinTable.load(spark, str(tmp_path / "pages"))
+    sch = table.schema()
+    assert sch.fieldNames().count("lang") == 1
+    engine = table.read(include_internal=True).toPandas()
+    assert_states_equal(engine, oracle_final_state(evolving_log["dir"]))
