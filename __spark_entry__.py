@@ -195,6 +195,35 @@ def q_parts_topk_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-set coverage: ROLLUP over (returnflag, linestatus)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+    )
+
+
+def q_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot coverage: order counts by priority pivoted on status."""
+    orders = _t(spark, sf_dir, "orders")
+    piv = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    # a missing (priority, status) combo pivots to NULL in Spark but
+    # counts 0 under the oracle's FILTER — normalize
+    return piv.select(
+        "o_orderpriority",
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_open"),
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_filled"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("n_partial"),
+    )
+
+
 def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti-join (J2: the delete-side join of MERGE)."""
     cust = _t(spark, sf_dir, "customer")
@@ -449,6 +478,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_order_stats": q_nation_order_stats,
         "parts_topk_per_type": q_parts_topk_per_type,
         "customers_without_orders": q_customers_without_orders,
+        "lineitem_rollup": q_lineitem_rollup,
+        "status_pivot": q_status_pivot,
         "union_high_value_parties": q_union_high_value_parties,
         "doc_stats": q_doc_stats,
         "doc_tokens": q_doc_tokens,
@@ -565,6 +596,19 @@ def oracle_sql() -> dict[str, str]:
         "customers_without_orders": """
             SELECT c_custkey, c_name FROM customer
             WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "lineitem_rollup": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "status_pivot": """
+            SELECT o_orderpriority,
+                   count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+                   count(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+                   count(*) FILTER (WHERE o_orderstatus = 'P') AS n_partial
+            FROM orders GROUP BY o_orderpriority
         """,
         "union_high_value_parties": """
             SELECT c_name AS name, c_acctbal AS acctbal, 'customer' AS kind

@@ -1,0 +1,84 @@
+"""spark-submit entrypoint: bounded CDC replay of a change log into a
+pages GinTable (the north_star run mode: `spark-submit --py-files`).
+
+Usage:
+  spark-submit --py-files opengin_ingestion_spark.zip jobs/replay_job.py \
+      --log-dir <dir> --table <dir> [--buckets 64] [--streaming] \
+      [--checkpoint <dir>] [--generate-events N]
+
+On a real cluster the same invocation runs with --master yarn/k8s and N
+executors; nothing in the job is local-mode-specific (the SparkSession is
+taken from the submit environment, not built with a hardcoded master).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--log-dir", required=True)
+    p.add_argument("--table", required=True)
+    p.add_argument("--buckets", type=int, default=64)
+    p.add_argument("--streaming", action="store_true")
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--generate-events", type=int, default=0,
+                   help="generate a synthetic log first (driver-side, seeded)")
+    args = p.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("opengin_replay").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if args.generate_events:
+        from opengin_ingestion_spark.sources.changelog import (
+            ChangeLogSpec,
+            generate_changelog,
+        )
+
+        generate_changelog(
+            args.log_dir,
+            ChangeLogSpec(
+                n_events=args.generate_events,
+                n_urls=max(1000, args.generate_events // 10),
+                n_batches=16,
+                seed=42,
+            ),
+        )
+
+    if args.streaming:
+        from opengin_ingestion_spark.streaming.tail import tail_changelog
+
+        ckpt = args.checkpoint or (args.table + "_ckpt")
+        q = tail_changelog(
+            spark, args.log_dir, args.table, ckpt,
+            n_buckets=args.buckets, available_now=True,
+        )
+        q.awaitTermination()
+    else:
+        from opengin_ingestion_spark.plans.replay import replay_changelog
+
+        replay_changelog(spark, args.log_dir, args.table, n_buckets=args.buckets)
+
+    from opengin_ingestion_spark.sources.gintable import GinTable
+
+    t = GinTable.load(spark, args.table)
+    snap = t.current_snapshot()
+    print(
+        "REPLAY_DONE "
+        + json.dumps(
+            {
+                "version": snap["version"],
+                "applied": snap["applied_batch_ranges"],
+                "rows_written": sum(f["rows"] for f in snap["files"]),
+                "metrics": snap["metrics"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -91,3 +91,31 @@ def test_whole_stage_codegen_on_text_stats(spark):
     # "*(n)" prefixes mark whole-stage-codegen'd operators in toString()
     assert "*(1)" in plan or "WholeStageCodegen" in plan
     assert "EvalPython" not in plan
+
+
+def test_salted_repartition_balances_hot_keys(spark, tiny_log):
+    """north_rule: salted repartitioning defeats hot-url skew — with the
+    zipfian log, plain url-partitioning concentrates rows on few
+    partitions; the salted variant spreads them near-uniformly."""
+    import numpy as np
+
+    from opengin_ingestion_spark.operators.salt import salted_repartition
+    from opengin_ingestion_spark.sources.reader import read_changelog
+
+    df = read_changelog(spark, tiny_log["dir"])
+    n = 16
+
+    def partition_sizes(d):
+        return [
+            r["n"]
+            for r in d.withColumn("p", F.spark_partition_id())
+            .groupBy("p").agg(F.count(F.lit(1)).alias("n")).collect()
+        ]
+
+    plain = partition_sizes(df.repartition(n, F.col("url")))
+    salted = partition_sizes(salted_repartition(df, n, salt_buckets=16))
+    total = sum(plain)
+    # hot url holds >5% of all events; salted max partition must be close
+    # to the uniform share, and strictly better balanced than plain
+    assert max(salted) <= 0.8 * max(plain)  # materially better balanced
+    assert max(salted) <= 1.6 * total / n  # near-uniform (tiny-data variance)
