@@ -335,6 +335,15 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(docs, max_hamming=3)
 
 
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard pairs (the accuracy oracle for MinHash;
+    rows-only: pair space depends on shingle sharing)."""
+    from opengin_ingestion_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, threshold=0.3)
+
+
 def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from opengin_ingestion_spark.operators.similarity import lsh_ann_topk
 
@@ -491,6 +500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (non-SQL-expressible)
         "minhash_neardup": q_minhash_neardup,
         "simhash_neardup": q_simhash_neardup,
+        "ngram_jaccard": q_ngram_jaccard,
         "lsh_ann_topk": q_lsh_ann_topk,
         "embedding_neardup": q_embedding_neardup,
         "media_features": q_media_features,
