@@ -128,3 +128,46 @@ def test_gc_orphans(spark, tmp_path):
     t.gc_orphans(dry_run=False)
     assert not t.gc_orphans(dry_run=True)
     assert t.read().count() == 8  # live data intact
+
+
+def test_concurrent_merges_retry_and_both_commit(spark, tmp_path):
+    """Two writers merging different batches race on the same parent
+    version: one hits CommitConflict internally, retries on the new
+    snapshot, and BOTH batches land exactly once."""
+    import threading
+
+    from opengin_ingestion_spark.operators.merge import merge_batch
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("warc_ts", T.TimestampType(), False),
+            T.StructField("v", T.LongType(), True),
+        ]
+    )
+    t = GinTable.create(spark, str(tmp_path / "t"), schema, n_buckets=8)
+
+    def batch(i0, tag):
+        return spark.createDataFrame(
+            [
+                ("I", i, f"https://r.com/{tag}/{i}", None, i)
+                for i in range(i0, i0 + 30)
+            ],
+            "op string, seq long, url string, warc_ts timestamp, v long",
+        ).withColumn("warc_ts", F.timestamp_seconds(F.col("seq") + 1_700_000_000))
+
+    errs = []
+
+    def run(bid, df):
+        try:
+            merge_batch(t, df, batch_id=bid)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    t1 = threading.Thread(target=run, args=(1, batch(0, "a")))
+    t2 = threading.Thread(target=run, args=(2, batch(100, "b")))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs, errs
+    snap = t.current_snapshot()
+    assert t.is_batch_applied(1) and t.is_batch_applied(2)
+    assert t.read().count() == 60  # both batches, nothing lost or doubled
