@@ -16,7 +16,10 @@ Determinism rules used throughout (so value hashes match):
 
 from __future__ import annotations
 
+import hashlib
 import os
+import shutil
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -336,8 +339,12 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-3-gram Jaccard pairs (the accuracy oracle for MinHash;
-    rows-only: pair space depends on shingle sharing)."""
+    """Exact word-3-gram Jaccard pairs (the accuracy oracle for MinHash).
+    DuckDB-oracled: the shingle construction is mirrored exactly
+    (string_split keeps empties; short docs yield one whole-text shingle).
+    The jaccard double is a single int/int division — bit-identical in both
+    engines. The stop-shingle cap cannot fire at test SF (see
+    ngram_jaccard_pairs docstring), so the result is exact."""
     from opengin_ingestion_spark.operators.dedup import ngram_jaccard_pairs
 
     docs = _t(spark, sf_dir, "documents")
@@ -352,12 +359,18 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs via hyperplane-LSH candidates +
-    exact verification (rows-only: candidate set is probe-dependent)."""
-    from opengin_ingestion_spark.operators.similarity import embedding_neardup_pairs
+    """Embedding-cosine near-dup pairs, EXACT (chunked-broadcast block
+    matmul — no full-corpus driver collect) and DuckDB-oracled via
+    list_cosine_similarity. Threshold 0.45 sits ≥5e-4 from every pair's
+    cosine at test SF, so float summation-order noise cannot flip
+    membership; the cosine itself is excluded from the output (different
+    engines sum in different orders → last-ulp hash drift). The LSH scale
+    path (embedding_neardup_pairs) is recall-tested against this exact
+    operator in tests/test_similarity.py."""
+    from opengin_ingestion_spark.operators.similarity import exact_neardup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
-    return embedding_neardup_pairs(emb, threshold=0.95)
+    return exact_neardup_pairs(emb, threshold=0.45).select("id_a", "id_b")
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -449,15 +462,23 @@ def q_cdc_replay_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from opengin_ingestion_spark.sources.gintable import GinTable
 
-    # deterministic cache: the log/table are pure functions of the spec,
-    # so repeated driver invocations reuse the committed table
-    base = "/tmp/opengin_entry_cache_v1"
+    # deterministic cache: the log/table are pure functions of the spec, so
+    # repeated driver invocations reuse the committed table. The cache dir is
+    # keyed by the spec hash (stale-proof) and populated via write-to-temp +
+    # atomic rename (race-proof against concurrent drivers).
+    spec = ChangeLogSpec(n_events=5_000, n_urls=500, n_batches=5, seed=42)
+    spec_key = hashlib.sha256(repr(spec).encode()).hexdigest()[:16]
+    base = f"/tmp/opengin_entry_cache_{spec_key}"
     log = os.path.join(base, "log")
     table_path = os.path.join(base, "pages")
     if not os.path.isdir(log):
-        generate_changelog(
-            log, ChangeLogSpec(n_events=5_000, n_urls=500, n_batches=5, seed=42)
-        )
+        os.makedirs(base, exist_ok=True)
+        tmp = tempfile.mkdtemp(dir=base, prefix="log_tmp_")
+        generate_changelog(tmp, spec)
+        try:
+            os.rename(tmp, log)
+        except OSError:  # another driver won the race — use its copy
+            shutil.rmtree(tmp, ignore_errors=True)
     # idempotent: merge_batch early-exits (no Spark jobs) once batch 0 is
     # in the table's applied ranges, so repeated calls are cheap
     table, _ = replay_changelog(spark, log, table_path, n_buckets=16)
@@ -497,15 +518,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_exact_dedup": q_docs_exact_dedup,
         "ann_topk": q_ann_topk,
         "embedding_label_stats": q_embedding_label_stats,
-        # rows-only (non-SQL-expressible)
-        "minhash_neardup": q_minhash_neardup,
-        "simhash_neardup": q_simhash_neardup,
         "ngram_jaccard": q_ngram_jaccard,
-        "lsh_ann_topk": q_lsh_ann_topk,
         "embedding_neardup": q_embedding_neardup,
         "media_features": q_media_features,
         "fragment_aggregation": q_fragment_aggregation,
         "parse_responses": q_parse_responses,
+        # rows-only (genuinely non-SQL-expressible: Spark murmur3 / FNV
+        # signatures, probe-dependent LSH candidate sets, the stateful
+        # engine replay — each covered by exact local tests instead)
+        "minhash_neardup": q_minhash_neardup,
+        "simhash_neardup": q_simhash_neardup,
+        "lsh_ann_topk": q_lsh_ann_topk,
         "cdc_replay_pages": q_cdc_replay_pages,
     }
 
@@ -628,7 +651,10 @@ def oracle_sql() -> dict[str, str]:
             FROM supplier WHERE s_acctbal > 9000
         """,
         "doc_stats": """
-            SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+            -- CAST: DuckDB sum(BIGINT) is HUGEINT (→ float64 in pandas),
+            -- which hash-mismatches Spark's bigint (round-1 red cell)
+            SELECT lang, source, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
                    min(doc_id) AS min_doc, max(doc_id) AS max_doc
             FROM documents GROUP BY lang, source
         """,
@@ -677,5 +703,96 @@ def oracle_sql() -> dict[str, str]:
             SELECT label, count(*) AS n_vecs, min(vec_id) AS min_vec,
                    max(vec_id) AS max_vec
             FROM embeddings GROUP BY label
+        """,
+        # mirrors word_shingles exactly: split on single space (empties
+        # kept), i in 1..max(n-2,1), slice truncates at the end — a short
+        # doc contributes one whole-text shingle
+        "ngram_jaccard": """
+            WITH words AS (
+                SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+                FROM words,
+                     unnest(generate_series(1, greatest(len(w)-2, 1))) AS t(i)
+            ), sizes AS (
+                SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+                FROM sh a JOIN sh b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.3
+        """,
+        "embedding_neardup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+        """,
+        # reconstructs the same fenced response, strips the fence with the
+        # engine's regex, and extracts through DuckDB's independent JSON
+        # parser — an end-to-end parse oracle, not an echo of the inputs
+        "parse_responses": r"""
+            WITH resp AS (
+                SELECT doc_id,
+                       '```json' || chr(10) || '{"tables": [{"id": "t'
+                       || doc_id || '", "name": "' || source
+                       || '", "columns": ["lang"], "rows": [["' || lang
+                       || '"]]}]}' || chr(10) || '```' AS raw
+                FROM documents
+            ), stripped AS (
+                SELECT doc_id,
+                       regexp_extract(
+                           raw, '(?s)^\s*```(?:json)?\s*(.*?)\s*```\s*$', 1
+                       ) AS j
+                FROM resp
+            )
+            SELECT doc_id,
+                   json_extract_string(j, '$.tables[0].name') AS table_name,
+                   json_extract_string(j, '$.tables[0].rows[0][0]') AS first_cell,
+                   CAST(json_array_length(j, '$.tables') AS INT) AS n_tables
+            FROM stripped
+        """,
+        # variant forking: group by exact column list, number variants by
+        # (first page, serialized columns) within each normalized name
+        "fragment_aggregation": """
+            WITH frags AS (
+                SELECT CAST(doc_id AS INT) AS page_num,
+                       source AS table_name,
+                       CASE WHEN n_chars < 200 THEN ['n_chars']
+                            ELSE ['n_chars', 'lang'] END AS cols
+                FROM documents
+            ), grouped AS (
+                SELECT lower(trim(table_name)) AS _name, cols,
+                       min(page_num) AS first_page,
+                       count(*) AS n_fragments,
+                       CAST(count(*) AS INT) AS n_rows
+                FROM frags GROUP BY 1, 2
+            ), numbered AS (
+                SELECT *, CAST(row_number() OVER (
+                           PARTITION BY _name
+                           ORDER BY first_page, array_to_string(cols, chr(31))
+                       ) - 1 AS INT) AS variant
+                FROM grouped
+            )
+            SELECT _name AS table_name, variant,
+                   CASE WHEN variant = 0 THEN _name
+                        ELSE _name || '_' || variant END AS name_variant,
+                   n_fragments, n_rows,
+                   array_to_string(cols, '|') AS columns_str
+            FROM numbered
+        """,
+        # DuckDB sha256(VARCHAR) hashes the UTF-8 bytes — identical to the
+        # engine's hashlib over encode(text,'utf-8'); feature dim is the
+        # stub's fixed 16
+        "media_features": """
+            SELECT doc_id AS media_id, sha256(text) AS sha256,
+                   16 AS feature_dim
+            FROM documents
         """,
     }

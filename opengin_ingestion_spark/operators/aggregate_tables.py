@@ -44,7 +44,11 @@ def aggregate_table_fragments(
     first_seen = df.groupBy("_name", columns_col).agg(
         F.min(page_col).alias("_first_page")
     )
-    w = Window.partitionBy("_name").orderBy("_first_page")
+    # deterministic tiebreak: two variants first appearing on the same page
+    # order by their serialized column list (stable across runs/partitions)
+    w = Window.partitionBy("_name").orderBy(
+        "_first_page", F.concat_ws("\u001f", F.col(columns_col))
+    )
     variants = first_seen.withColumn("variant", F.row_number().over(w) - 1).drop(
         "_first_page"
     )

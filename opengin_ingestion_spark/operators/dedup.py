@@ -21,9 +21,41 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+
+def cap_key_frequency(
+    df: DataFrame, keys: list[str], cap: int, metric: str
+) -> DataFrame:
+    """Drop rows whose key group exceeds ``cap`` rows — the standard guard
+    against degenerate LSH buckets / stop-shingles that would otherwise make
+    a self-join quadratic (a bucket of n rows yields n² pairs; one boilerplate
+    bucket shared by 1M docs is a 10¹² pair explosion).
+
+    Not silent: an ``observe`` node emits ``{metric}_dropped_rows`` /
+    ``{metric}_dropped_keys`` with every action on the result (visible to
+    QueryExecutionListener / the Spark UI). The count is a window function
+    over the same key the consumer joins on, so the added exchange is
+    reusable by the join.
+    """
+    w = Window.partitionBy(*keys)
+    capped = (
+        df.withColumn("_key_n", F.count(F.lit(1)).over(w))
+        .observe(
+            f"{metric}_cap",
+            F.sum(F.when(F.col("_key_n") > cap, 1).otherwise(0)).alias(
+                f"{metric}_dropped_rows"
+            ),
+            F.sum(
+                F.when(F.col("_key_n") > cap, 1.0 / F.col("_key_n")).otherwise(0.0)
+            ).alias(f"{metric}_dropped_keys_approx"),
+        )
+        .filter(F.col("_key_n") <= cap)
+        .drop("_key_n")
+    )
+    return capped
 
 
 # --- exact ------------------------------------------------------------------
@@ -37,14 +69,20 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
 
 # --- shingling ---------------------------------------------------------------
 
-def word_shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
-    """(id, shingle) pairs: k-word shingles, JVM-side via split+transform."""
+def word_shingles(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3, distinct: bool = True
+) -> DataFrame:
+    """(id, shingle) pairs: k-word shingles, JVM-side via split+transform.
+
+    ``distinct=False`` skips the per-doc dedup shuffle — correct whenever the
+    consumer is insensitive to within-doc duplicates (min-hash aggregation)."""
     words = F.split(F.col(text_col), " ")
     n = F.size(words)
     idxs = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
     shingle_at = lambda i: F.concat_ws(" ", F.slice(words, i + 1, k))  # noqa: E731
     shingles = F.transform(idxs, shingle_at)
-    return df.select(F.col(id_col), F.explode(shingles).alias("shingle")).distinct()
+    out = df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
+    return out.distinct() if distinct else out
 
 
 # --- MinHash + LSH ------------------------------------------------------------
@@ -61,8 +99,10 @@ def minhash_signatures(
     All n minhashes are computed in ONE hash-aggregate pass over the
     exploded shingles (n independent `min(hash(shingle, seed_i))` aggs) —
     no per-hash shuffle, partial aggregation shrinks hot docs map-side.
+    min() is insensitive to duplicate shingles, so the per-doc distinct
+    shuffle is skipped entirely.
     """
-    sh = word_shingles(df, text_col, id_col, k=shingle_k)
+    sh = word_shingles(df, text_col, id_col, k=shingle_k, distinct=False)
     aggs = [
         F.min(F.hash(F.col("shingle"), F.lit(i))).alias(f"h{i}")
         for i in range(n_hashes)
@@ -81,12 +121,20 @@ def minhash_lsh_pairs(
     bands: int = 8,
     shingle_k: int = 3,
     threshold: float = 0.7,
+    max_bucket_size: int = 5000,
 ) -> DataFrame:
     """Near-duplicate candidate pairs (id_a < id_b, est_jaccard ≥ threshold).
 
     Banding: split the signature into ``bands`` bands of r = n/bands rows;
     docs sharing ANY band hash are candidates (classic MinHash-LSH, e.g.
     Leskovec et al., Mining of Massive Datasets ch.3 — public knowledge).
+
+    Degenerate buckets (boilerplate / empty docs collapsing to one band
+    hash) are dropped above ``max_bucket_size`` members — a bucket that
+    large is, by construction, a cluster of ≥ threshold-similar docs whose
+    pairwise listing is quadratic noise; real dedup keeps one exemplar via
+    connected components anyway. Dropped counts are observable
+    (``minhash_band_cap``), never silent.
     """
     r = n_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k)
@@ -110,6 +158,9 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "sig", "bb.band", "bb.bucket")
+    band_rows = cap_key_frequency(
+        band_rows, ["band", "bucket"], max_bucket_size, "minhash_band"
+    )
 
     a = band_rows.alias("a")
     b = band_rows.alias("b")
@@ -194,10 +245,14 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    max_bucket_size: int = 5000,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming, using the
     pigeonhole trick: split 64 bits into (max_hamming+1) bands; any pair
-    within distance k agrees exactly on ≥1 band → exact-match band join."""
+    within distance k agrees exactly on ≥1 band → exact-match band join.
+    Band buckets above ``max_bucket_size`` are dropped (observable metric
+    ``simhash_band_cap``) — the degenerate-bucket guard, see
+    ``cap_key_frequency``."""
     n_bands = max_hamming + 1
     width = 64 // n_bands
     sig = df.select(F.col(id_col), simhash64_udf(F.col(text_col)).alias("sim"))
@@ -222,6 +277,7 @@ def simhash_pairs(
             )
         ).alias("bk"),
     ).select(id_col, "sim", "bk.band", "bk.key")
+    bands = cap_key_frequency(bands, ["band", "key"], max_bucket_size, "simhash_band")
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -251,13 +307,25 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int | None = 100_000,
 ) -> DataFrame:
     """EXACT Jaccard over word k-grams for all pairs sharing ≥1 shingle.
     |A∩B| via a self-join on shingle; |A∪B| = |A|+|B|-|A∩B|. At scale this
     runs on LSH candidates, not all pairs — here it doubles as the accuracy
-    oracle for minhash_lsh_pairs."""
+    oracle for minhash_lsh_pairs.
+
+    ``max_shingle_df`` drops shingles whose document frequency exceeds the
+    cap before the self-join (the stop-phrase guard: one trigram shared by
+    1M docs is a 10¹² pair bucket). Set sized so it cannot fire below ~100k
+    docs — results are exact whenever no shingle exceeds it (true at every
+    test SF; the local contract test would catch a capped drift). Doc sizes
+    |A| are computed pre-cap, so when the cap does fire at scale the error
+    is one-sided (Jaccard under-estimates; a pair is never over-reported).
+    """
     sh = word_shingles(df, text_col, id_col, k=k)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    if max_shingle_df is not None:
+        sh = cap_key_frequency(sh, ["shingle"], max_shingle_df, "shingle_df")
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(

@@ -122,12 +122,30 @@ def _merge_once(
 
     t_start = time.time()
 
+    # --- schema evolution decision FIRST, before any Spark action: a batch
+    # with an incompatible column type must fail-fast with
+    # SchemaEvolutionError and leave no side effects — not die mid-stats
+    # with a raw cast exception (found by an end-to-end poison probe).
+    # Driver-side schema arithmetic only, costs nothing.
+    _seen: set[str] = set()
+    _fields: list[T.StructField] = []
+    for f in list(batch_df.schema.fields) + list(transform_fields or []):
+        if f.name not in (OP_COL, seq) and f.name not in _seen:
+            _fields.append(f)
+            _seen.add(f.name)
+    batch_user = T.StructType(_fields)
+    evolved_user = evolve_schema(table.schema(snap), batch_user)
+    stored_schema = GinTable._with_internal(evolved_user)
+    schema_changed = stored_schema != table.schema(snap, include_internal=True)
+    schema_version = snap["schema_version"] + (1 if schema_changed else 0)
+
     # --- action 1: per-bucket input stats (ONE key-pruned aggregation gives
     # touched buckets + events/bytes/lag metrics + per-input-bucket lineage;
     # deliberately NOT df.observe — Observation.get never resolves inside
     # foreachBatch because the micro-batch df belongs to a cloned session)
+    # try_cast: the bytes metric must never crash a merge (ANSI mode)
     if "content_len" in batch_df.columns:  # avoids reading the html payload
-        bytes_expr = F.sum(F.coalesce(F.col("content_len").cast("long"), F.lit(0)))
+        bytes_expr = F.sum(F.coalesce(F.col("content_len").try_cast("long"), F.lit(0)))
     elif "html" in batch_df.columns:
         bytes_expr = F.sum(F.coalesce(F.length(F.col("html")).cast("long"), F.lit(0)))
     else:
@@ -159,21 +177,6 @@ def _merge_once(
             metrics={"events_in": 0, "rows_written": 0, "batch_id": batch_id},
         )
         return MergeResult(skipped=False, version=new_snap["version"])
-
-    # --- schema evolution decision: raw batch columns + transform-declared
-    # (name-deduped: the batch may ALREADY carry a column the transform
-    # also declares, e.g. a post-evolution log with `lang`) ------------------
-    _seen: set[str] = set()
-    _fields: list[T.StructField] = []
-    for f in list(batch_df.schema.fields) + list(transform_fields or []):
-        if f.name not in (OP_COL, seq) and f.name not in _seen:
-            _fields.append(f)
-            _seen.add(f.name)
-    batch_user = T.StructType(_fields)
-    evolved_user = evolve_schema(table.schema(snap), batch_user)
-    stored_schema = GinTable._with_internal(evolved_user)
-    schema_changed = stored_schema != table.schema(snap, include_internal=True)
-    schema_version = snap["schema_version"] + (1 if schema_changed else 0)
 
     aligned_schema = T.StructType(
         [T.StructField(OP_COL, T.StringType(), True)] + list(stored_schema.fields)

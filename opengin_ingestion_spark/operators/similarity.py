@@ -43,62 +43,90 @@ def _cosine(a_col: str, b_col: str) -> F.Column:
     return dot / (norm(a_col) * norm(b_col))
 
 
+_TOPK_SCHEMA = T.StructType(
+    [
+        T.StructField("q_id", T.LongType()),
+        T.StructField("c_id", T.LongType()),
+        T.StructField("cos", T.DoubleType()),
+    ]
+)
+
+
+def _query_chunks(
+    src: DataFrame, id_col: str, vec_col: str, max_rows: int
+):
+    """Yield (ids, matrix) query chunks, never collecting more than
+    ``max_rows`` rows to the driver at once. One corpus-side scan per chunk
+    selects the chunk by a uniform hash of the id — the driver holds a
+    bounded slice, not the table."""
+    n = src.count()
+    n_chunks = max(1, -(-n // max_rows))  # ceil
+    base = src.select(id_col, vec_col)
+    for c in range(n_chunks):
+        part = base if n_chunks == 1 else base.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_chunks)) == c
+        )
+        pdf = part.toPandas()
+        if len(pdf) == 0:
+            continue
+        ids = pdf[id_col].to_numpy()
+        m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        yield ids, m
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    max_broadcast_rows: int = 65_536,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector (excluding self).
 
     Returns (vec_id, neighbor_id, rank) — rank 1 = most similar; ties
     broken by neighbor_id for determinism.
 
-    Physical strategy: the query matrix is broadcast to every task; a
+    Physical strategy: the query set is broadcast in chunks of at most
+    ``max_broadcast_rows`` rows (so self-search NEVER collects the whole
+    corpus to the driver — the round-1 driver-OOM path); per chunk, a
     ``mapInPandas`` stage streams the corpus once, computing an Arrow-batch
     × query BLAS matmul in float64 and emitting only each batch's local
     top-k candidates per query (k · n_batches rows, not n_corpus · n_query
-    pairs). A final window over the tiny candidate set picks the global
-    top-k. The corpus never shuffles; the pair space is never materialized
-    — this is ~50× faster than an expression-tree dot product over a
-    crossJoin and is the shape that scales to a streamed 100 TB corpus.
+    pairs). A final window over the tiny candidate union picks the global
+    top-k. The corpus never shuffles; the pair space is never materialized.
+    For huge self-search sets prefer ``lsh_ann_topk`` — chunked brute force
+    is exact but O(N²/chunks) scans.
     """
-    q_pdf = (queries or corpus).select(id_col, vec_col).toPandas()
-    q_ids = q_pdf[id_col].to_numpy()
-    qm = np.stack(q_pdf[vec_col].to_numpy()).astype(np.float64)
-    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    src = corpus if queries is None else queries
     sc = corpus.sparkSession.sparkContext
-    bc = sc.broadcast((q_ids, qm))
+    chunk_outputs = []
+    for q_ids, qm in _query_chunks(src, id_col, vec_col, max_broadcast_rows):
+        bc = sc.broadcast((q_ids, qm))
 
-    out_schema = T.StructType(
-        [
-            T.StructField("q_id", T.LongType()),
-            T.StructField("c_id", T.LongType()),
-            T.StructField("cos", T.DoubleType()),
-        ]
-    )
+        def local_topk(batches, _bc=bc):
+            q_ids_l, qm_l = _bc.value
+            for pdf in batches:
+                c_ids = pdf[id_col].to_numpy()
+                cm = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                cm /= np.linalg.norm(cm, axis=1, keepdims=True)
+                sims = cm @ qm_l.T  # (batch, nq)
+                sims[c_ids[:, None] == q_ids_l[None, :]] = -np.inf  # self
+                kk = min(k, sims.shape[0])
+                top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, nq)
+                rows = {
+                    "q_id": np.repeat(q_ids_l[None, :], kk, axis=0).ravel(),
+                    "c_id": c_ids[top].ravel(),
+                    "cos": np.take_along_axis(sims, top, axis=0).ravel(),
+                }
+                out = pd.DataFrame(rows)
+                yield out[np.isfinite(out["cos"])]
 
-    def local_topk(batches):
-        q_ids_l, qm_l = bc.value
-        nq = len(q_ids_l)
-        for pdf in batches:
-            c_ids = pdf[id_col].to_numpy()
-            cm = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            cm /= np.linalg.norm(cm, axis=1, keepdims=True)
-            sims = cm @ qm_l.T  # (batch, nq)
-            sims[c_ids[:, None] == q_ids_l[None, :]] = -np.inf  # self
-            kk = min(k, sims.shape[0])
-            top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, nq)
-            rows = {
-                "q_id": np.repeat(q_ids_l[None, :], kk, axis=0).ravel(),
-                "c_id": c_ids[top].ravel(),
-                "cos": np.take_along_axis(sims, top, axis=0).ravel(),
-            }
-            out = pd.DataFrame(rows)
-            yield out[np.isfinite(out["cos"])]
-
-    cand = corpus.mapInPandas(local_topk, schema=out_schema)
+        chunk_outputs.append(corpus.mapInPandas(local_topk, schema=_TOPK_SCHEMA))
+    cand = chunk_outputs[0]
+    for extra in chunk_outputs[1:]:
+        cand = cand.unionByName(extra)
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
     return (
         cand.withColumn("rank", F.row_number().over(w))
@@ -111,6 +139,59 @@ def brute_force_topk(
     )
 
 
+def exact_neardup_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+    max_broadcast_rows: int = 65_536,
+) -> DataFrame:
+    """EXACT embedding-cosine near-duplicate pairs (id_a < id_b,
+    cos ≥ threshold) — the accuracy oracle for the LSH variant.
+
+    Same chunked-broadcast block-matmul shape as ``brute_force_topk``: the
+    corpus streams through mapInPandas once per query chunk; only pairs
+    over the threshold are ever materialized. Exact but O(N²/chunk) work —
+    at 100 TB use ``embedding_neardup_pairs`` (hyperplane LSH) and reserve
+    this for candidate verification / small corpora.
+    """
+    sc = corpus.sparkSession.sparkContext
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cos", T.DoubleType()),
+        ]
+    )
+    chunk_outputs = []
+    for q_ids, qm in _query_chunks(corpus, id_col, vec_col, max_broadcast_rows):
+        bc = sc.broadcast((q_ids, qm))
+
+        def pairs(batches, _bc=bc):
+            q_ids_l, qm_l = _bc.value
+            for pdf in batches:
+                c_ids = pdf[id_col].to_numpy()
+                cm = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                cm /= np.linalg.norm(cm, axis=1, keepdims=True)
+                sims = cm @ qm_l.T  # (batch, nq)
+                # id_a < id_b keeps each pair once, and drops self-pairs
+                keep = (sims >= threshold) & (c_ids[:, None] < q_ids_l[None, :])
+                ci, qi = np.nonzero(keep)
+                yield pd.DataFrame(
+                    {
+                        "id_a": c_ids[ci],
+                        "id_b": q_ids_l[qi],
+                        "cos": sims[ci, qi],
+                    }
+                )
+
+        chunk_outputs.append(corpus.mapInPandas(pairs, schema=out_schema))
+    out = chunk_outputs[0]
+    for extra in chunk_outputs[1:]:
+        out = out.unionByName(extra)
+    return out
+
+
 def embedding_neardup_pairs(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -118,18 +199,25 @@ def embedding_neardup_pairs(
     threshold: float = 0.95,
     n_planes: int = 8,
     seed: int = 42,
+    max_bucket_size: int = 5000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ threshold).
 
     Scale path: hyperplane-LSH bucketing (near-identical vectors share
     sign buckets with overwhelming probability at high thresholds) +
     exact cosine verification within candidates — the vector analog of
-    MinHash-LSH text dedup."""
+    MinHash-LSH text dedup. Buckets above ``max_bucket_size`` are dropped
+    (observable metric ``embedding_bucket_cap``) — the degenerate-bucket
+    guard (e.g. the all-zeros vector every encoder failure emits). For an
+    exact answer at small N use ``exact_neardup_pairs``."""
+    from opengin_ingestion_spark.operators.dedup import cap_key_frequency
+
     dim = len(corpus.select(vec_col).first()[0])
     planes = make_hyperplanes(dim, n_planes, seed)
     bucketed = corpus.select(
         F.col(id_col), F.col(vec_col), _bucket_udf(planes)(F.col(vec_col)).alias("b")
     ).localCheckpoint(eager=True)
+    bucketed = cap_key_frequency(bucketed, ["b"], max_bucket_size, "embedding_bucket")
     probes = bucketed.select(
         id_col, vec_col,
         F.explode(
@@ -186,18 +274,26 @@ def lsh_ann_topk(
     n_planes: int = 10,
     seed: int = 42,
     dim: int | None = None,
+    max_bucket_size: int = 5000,
 ) -> DataFrame:
     """Approximate self-search top-k: bucket by hyperplane sign bits,
     compare only within-bucket (plus 1-bit-flip probes), exact re-rank.
+    Degenerate buckets above ``max_bucket_size`` are dropped from the
+    candidate space (observable metric ``ann_bucket_cap``).
 
     Recall is tested against ``brute_force_topk`` in tests/test_similarity.py.
     """
+    from opengin_ingestion_spark.operators.dedup import cap_key_frequency
+
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
     planes = make_hyperplanes(dim, n_planes, seed)
     bucketed = corpus.select(
         F.col(id_col), F.col(vec_col), _bucket_udf(planes)(F.col(vec_col)).alias("b")
     ).localCheckpoint(eager=True)  # barrier: self-joined twice below
+    # the cap applies to the CANDIDATE side only — every vector keeps its
+    # query role even if its home bucket is degenerate
+    candidates = cap_key_frequency(bucketed, ["b"], max_bucket_size, "ann_bucket")
     # multi-probe: each vector also probes the n_planes buckets one bit away
     probes = bucketed.select(
         id_col,
@@ -212,7 +308,7 @@ def lsh_ann_topk(
             )
         ).alias("probe_b"),
     )
-    a = bucketed.select(
+    a = candidates.select(
         F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"), F.col("b")
     )
     q = probes.select(

@@ -91,3 +91,41 @@ def test_simhash_deterministic(spark, corpus):
     a = corpus.select("doc_id", simhash64_udf("text").alias("s")).collect()
     b = corpus.select("doc_id", simhash64_udf("text").alias("s")).collect()
     assert sorted(a) == sorted(b)
+
+
+def test_degenerate_bucket_cap_bounds_pairs(spark):
+    """A planted degenerate cluster (60 identical docs — the boilerplate /
+    empty-doc case) collapses to one band bucket; with the cap the pair
+    count stays bounded instead of going quadratic, and distinct healthy
+    near-dups are still found."""
+    rows = [(i, "identical boilerplate page text repeated everywhere") for i in range(60)]
+    rows += [(100, BASE), (101, BASE.replace("quick", "fast"))]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    uncapped = minhash_lsh_pairs(df, threshold=0.5).count()
+    assert uncapped >= 60 * 59 / 2  # quadratic without the guard
+
+    capped = minhash_lsh_pairs(df, threshold=0.5, max_bucket_size=10)
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (100, 101) in got, "healthy near-dup must survive the cap"
+    assert len(got) < 60, "degenerate cluster pairs must be dropped"
+
+    capped_sim = simhash_pairs(df, max_hamming=3, max_bucket_size=10)
+    got_sim = {(r["id_a"], r["id_b"]) for r in capped_sim.collect()}
+    assert (100, 101) in got_sim
+    assert len(got_sim) < 60
+
+
+def test_shingle_df_cap_drops_stop_shingles(spark):
+    """ngram_jaccard with a document-frequency cap: a shingle shared by
+    every doc stops producing pairs; pairs from rarer shingles survive."""
+    common = "the exact same phrase"
+    rows = [(i, f"{common} unique-{i} tail-{i*3} word-{i*7}") for i in range(20)]
+    rows += [(100, BASE), (101, BASE + " tail")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    capped = ngram_jaccard_pairs(df, threshold=0.2, max_shingle_df=5)
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (100, 101) in got
+    assert all(not (a < 20 and b < 20) for a, b in got), (
+        "pairs supported only by the capped stop-shingles must vanish"
+    )

@@ -59,6 +59,14 @@ def test_query_matches_oracle(spark, ddb, name):
     assert len(spark_pdf) == len(duck_pdf), "row counts differ"
     for c in spark_pdf.columns:
         a, b = spark_pdf[c], duck_pdf[c]
+        # the driver's value-hash is dtype-insensitive across int WIDTHS but
+        # NOT across numeric KIND: DuckDB HUGEINT (sum of BIGINT) lands in
+        # pandas as float64/object and hashes differently from Spark's
+        # bigint — that was round-1's doc_stats red cell. Replicate that.
+        assert (a.dtype.kind in "iu") == (b.dtype.kind in "iu"), (
+            f"column {c}: numeric kind differs ({a.dtype} vs {b.dtype}) — "
+            "cast the oracle (e.g. CAST(sum(x) AS BIGINT)) or the query"
+        )
         if a.dtype.kind == "f" or b.dtype.kind == "f":
             assert np.array_equal(
                 a.to_numpy(dtype="float64"), b.to_numpy(dtype="float64"),

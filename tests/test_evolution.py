@@ -68,6 +68,38 @@ def test_align_to_schema(spark):
     assert row["n"] == 1 and row["extra"] is None
 
 
+def test_poison_batch_fails_fast_before_any_action(spark, tiny_log, tmp_path):
+    """A batch with an incompatible column TYPE must raise
+    SchemaEvolutionError with zero side effects — even when the poisoned
+    column is one the stats action casts (content_len). Regression: schema
+    validation used to run after the stats collect, so this died with a raw
+    Spark CAST_INVALID_INPUT instead (found by an end-to-end probe)."""
+    import glob as _glob
+
+    from opengin_ingestion_spark.plans.replay import PAGES_SCHEMA, transform_changes
+
+    table_path = str(tmp_path / "pages")
+    files = sorted(_glob.glob(os.path.join(tiny_log["dir"], "*.parquet")))
+    table = GinTable.create(spark, table_path, PAGES_SCHEMA, n_buckets=8)
+    merge_batch(table, transform_changes(spark.read.parquet(files[0])), batch_id=0)
+    v0 = table.current_version()
+    rows0 = table.read().count()
+
+    poison = spark.read.parquet(files[1]).withColumn(
+        "content_len", F.lit("not-a-number")
+    )
+    with pytest.raises(SchemaEvolutionError):
+        merge_batch(table, poison, batch_id=1)
+    assert table.current_version() == v0
+    assert table.read().count() == rows0
+    applied = {
+        b
+        for lo, hi in table.current_snapshot()["applied_batch_ranges"]
+        for b in range(lo, hi + 1)
+    }
+    assert 1 not in applied
+
+
 def test_midstream_evolution_full_pipeline(spark, evolving_log, tmp_path):
     """Era-by-era replay (each batch arrives with its own physical schema,
     as a restarted CDC stream would): table schema evolves mid-replay and

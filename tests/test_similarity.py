@@ -73,6 +73,40 @@ def test_lsh_ann_recall_on_clustered_data(spark):
     assert recall >= 0.9, f"recall@5 too low on clustered data: {recall}"
 
 
+def test_brute_force_chunked_matches_unchunked(vecs):
+    """Self-search with a tiny driver-broadcast budget (forces 4+ chunks —
+    the no-full-corpus-collect path) returns exactly the single-chunk
+    result."""
+    df, m = vecs
+    one = sorted(map(tuple, brute_force_topk(df, k=3).collect()))
+    chunked = sorted(map(tuple, brute_force_topk(df, k=3, max_broadcast_rows=30).collect()))
+    assert one == chunked
+
+
+def test_exact_neardup_pairs_matches_numpy(vecs):
+    """exact_neardup_pairs == numpy full-pair cosine at the threshold, in
+    both single-chunk and chunked mode."""
+    from opengin_ingestion_spark.operators.similarity import exact_neardup_pairs
+
+    df, m = vecs
+    x = m.astype(np.float64)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    sims = x @ x.T
+    expect = {
+        (i, j)
+        for i in range(len(m))
+        for j in range(i + 1, len(m))
+        if sims[i, j] >= 0.9
+    }
+    got = {(r["id_a"], r["id_b"]) for r in exact_neardup_pairs(df, threshold=0.9).collect()}
+    assert got == expect and len(expect) >= 10
+    got_chunked = {
+        (r["id_a"], r["id_b"])
+        for r in exact_neardup_pairs(df, threshold=0.9, max_broadcast_rows=30).collect()
+    }
+    assert got_chunked == expect
+
+
 def test_embedding_neardup_pairs(spark, vecs):
     """Planted near-identical vectors (cos ≈ 1) are found as near-dup
     pairs; unrelated random vectors are not."""
