@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -34,28 +34,29 @@ def cap_key_frequency(
     a self-join quadratic (a bucket of n rows yields n² pairs; one boilerplate
     bucket shared by 1M docs is a 10¹² pair explosion).
 
-    Not silent: an ``observe`` node emits ``{metric}_dropped_rows`` /
-    ``{metric}_dropped_keys`` with every action on the result (visible to
-    QueryExecutionListener / the Spark UI). The count is a window function
-    over the same key the consumer joins on, so the added exchange is
-    reusable by the join.
+    Physical shape: the over-cap key set is found with one partial+final
+    count aggregate (map-side combine — only distinct keys shuffle, never
+    the rows) and removed with a broadcast anti-join. The over-cap set is
+    small BY CONSTRUCTION (≤ total_rows/cap keys), so the broadcast is
+    always safe — this never shuffles or sorts the full input the way a
+    window-count would.
+
+    Not silent: an ``observe`` node on the over-cap key frame emits
+    ``{metric}_dropped_keys`` / ``{metric}_dropped_rows`` (visible to
+    QueryExecutionListener / the Spark UI).
     """
-    w = Window.partitionBy(*keys)
-    capped = (
-        df.withColumn("_key_n", F.count(F.lit(1)).over(w))
+    over = (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_key_n"))
+        .filter(F.col("_key_n") > cap)
         .observe(
             f"{metric}_cap",
-            F.sum(F.when(F.col("_key_n") > cap, 1).otherwise(0)).alias(
-                f"{metric}_dropped_rows"
-            ),
-            F.sum(
-                F.when(F.col("_key_n") > cap, 1.0 / F.col("_key_n")).otherwise(0.0)
-            ).alias(f"{metric}_dropped_keys_approx"),
+            F.count(F.lit(1)).alias(f"{metric}_dropped_keys"),
+            F.coalesce(F.sum("_key_n"), F.lit(0)).alias(f"{metric}_dropped_rows"),
         )
-        .filter(F.col("_key_n") <= cap)
-        .drop("_key_n")
+        .select(*keys)
     )
-    return capped
+    return df.join(F.broadcast(over), list(keys), "left_anti")
 
 
 # --- exact ------------------------------------------------------------------
@@ -97,17 +98,24 @@ def minhash_signatures(
     """One row per doc: ``sig`` = array of n_hashes minhash values.
 
     All n minhashes are computed in ONE hash-aggregate pass over the
-    exploded shingles (n independent `min(hash(shingle, seed_i))` aggs) —
-    no per-hash shuffle, partial aggregation shrinks hot docs map-side.
-    min() is insensitive to duplicate shingles, so the per-doc distinct
-    shuffle is skipped entirely.
+    exploded shingles (n independent `min(...)` aggs) — no per-hash
+    shuffle, partial aggregation shrinks hot docs map-side. min() is
+    insensitive to duplicate shingles, so the per-doc distinct shuffle is
+    skipped entirely. The variable-length shingle string is hashed ONCE
+    (xxhash64); the n seeded minhashes then re-hash the fixed 8-byte long —
+    ~2× cheaper per row than n string hashes, identical LSH properties
+    (murmur3 over a 64-bit universal hash is still a uniform family).
     """
+    from opengin_ingestion_spark.operators.salt import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df)
     sh = word_shingles(df, text_col, id_col, k=shingle_k, distinct=False)
+    hashed = sh.select(id_col, F.xxhash64("shingle").alias("_h"))
     aggs = [
-        F.min(F.hash(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        F.min(F.hash(F.col("_h"), F.lit(i))).alias(f"h{i}")
         for i in range(n_hashes)
     ]
-    sig = sh.groupBy(id_col).agg(*aggs)
+    sig = hashed.groupBy(id_col).agg(*aggs)
     return sig.select(
         id_col, F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("sig")
     )
@@ -229,14 +237,18 @@ def simhash64_udf(text: pd.Series) -> pd.Series:
     bits = (
         (word_h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
     ).astype(np.int32)
-    votes = np.zeros((n, 64), dtype=np.int64)
-    np.add.at(votes, doc_idx, 2 * bits - 1)
-    sig_bits = (votes > 0).astype(np.uint64)
+    # explode preserves row order, so tokens arrive grouped by doc —
+    # segment-sum with reduceat (contiguous, ~10× np.add.at's buffered
+    # scatter). Majority vote: bit set iff 2·Σbit > count (ties → 0,
+    # identical to the ±1-vote formulation).
+    starts = np.flatnonzero(np.r_[True, doc_idx[1:] != doc_idx[:-1]])
+    seg_docs = doc_idx[starts]
+    counts = np.diff(np.r_[starts, len(doc_idx)])
+    bit_sums = np.add.reduceat(bits, starts, axis=0)  # (n_docs_present, 64)
+    sig_bits = (2 * bit_sums > counts[:, None]).astype(np.uint64)
     weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))
     sigs = (sig_bits * weights).sum(axis=1, dtype=np.uint64)
-    mask = np.zeros(n, dtype=bool)
-    mask[np.unique(doc_idx)] = True
-    out[mask] = sigs[mask].astype(np.int64)
+    out[seg_docs] = sigs.astype(np.int64)
     return pd.Series(out)
 
 
@@ -253,8 +265,11 @@ def simhash_pairs(
     Band buckets above ``max_bucket_size`` are dropped (observable metric
     ``simhash_band_cap``) — the degenerate-bucket guard, see
     ``cap_key_frequency``."""
+    from opengin_ingestion_spark.operators.salt import ensure_min_parallelism
+
     n_bands = max_hamming + 1
     width = 64 // n_bands
+    df = ensure_min_parallelism(df)
     sig = df.select(F.col(id_col), simhash64_udf(F.col(text_col)).alias("sim"))
     # lineage barrier: the band self-join would otherwise re-evaluate the
     # signature UDF once per side per predicate copy (4x, verified on the
@@ -322,6 +337,9 @@ def ngram_jaccard_pairs(
     |A| are computed pre-cap, so when the cap does fire at scale the error
     is one-sided (Jaccard under-estimates; a pair is never over-reported).
     """
+    from opengin_ingestion_spark.operators.salt import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df)
     sh = word_shingles(df, text_col, id_col, k=k)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     if max_shingle_df is not None:

@@ -93,6 +93,10 @@ def extract_media_features(
     feature vector). Arrow-batched; one pandas frame per batch, never
     per-row Python at the Spark level."""
 
+    from opengin_ingestion_spark.operators.salt import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"]

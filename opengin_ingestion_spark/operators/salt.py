@@ -23,6 +23,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def ensure_min_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition iff the plan's current partitioning is far
+    below the session's parallelism.
+
+    Guards compute-heavy stages (shingle explode, signature UDFs, regex
+    scoring) against few-split inputs: one small parquet file scans as ONE
+    task, so the expensive downstream expressions run on one core while the
+    rest idle — measured 3-5× on the signature stages. On healthy
+    multi-split inputs (the 100 TB case) this is a no-op; the repartition
+    only ever pays a shuffle of the small input it parallelizes.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= max(1, target // 2):
+        return df
+    return df.repartition(target)
+
+
 def salted_repartition(
     df: DataFrame,
     num_partitions: int,

@@ -24,6 +24,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
+from opengin_ingestion_spark.operators.salt import ensure_min_parallelism
+
 
 def _cosine(a_col: str, b_col: str) -> F.Column:
     """Exact cosine similarity between two array<float/double> columns,
@@ -100,6 +102,7 @@ def brute_force_topk(
     is exact but O(N²/chunks) scans.
     """
     src = corpus if queries is None else queries
+    corpus = ensure_min_parallelism(corpus)
     sc = corpus.sparkSession.sparkContext
     chunk_outputs = []
     for q_ids, qm in _query_chunks(src, id_col, vec_col, max_broadcast_rows):
@@ -156,6 +159,7 @@ def exact_neardup_pairs(
     this for candidate verification / small corpora.
     """
     sc = corpus.sparkSession.sparkContext
+    corpus = ensure_min_parallelism(corpus)
     out_schema = T.StructType(
         [
             T.StructField("id_a", T.LongType()),
@@ -214,6 +218,7 @@ def embedding_neardup_pairs(
 
     dim = len(corpus.select(vec_col).first()[0])
     planes = make_hyperplanes(dim, n_planes, seed)
+    corpus = ensure_min_parallelism(corpus)
     bucketed = corpus.select(
         F.col(id_col), F.col(vec_col), _bucket_udf(planes)(F.col(vec_col)).alias("b")
     ).localCheckpoint(eager=True)
@@ -288,6 +293,7 @@ def lsh_ann_topk(
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
     planes = make_hyperplanes(dim, n_planes, seed)
+    corpus = ensure_min_parallelism(corpus)
     bucketed = corpus.select(
         F.col(id_col), F.col(vec_col), _bucket_udf(planes)(F.col(vec_col)).alias("b")
     ).localCheckpoint(eager=True)  # barrier: self-joined twice below
