@@ -76,10 +76,10 @@ def cmd_metrics(path: str) -> None:
     print(json.dumps([s.get("metrics", {}) for s in t.history()], indent=2))
 
 
-def cmd_gc(path: str, delete: bool) -> None:
+def cmd_gc(path: str, delete: bool, min_age: float = 3600.0) -> None:
     t = _manifests_only(path)
-    orphans = t.gc_orphans(dry_run=not delete)
-    print(json.dumps({"orphans": orphans, "deleted": delete}))
+    orphans = t.gc_orphans(dry_run=not delete, min_age_seconds=min_age)
+    print(json.dumps({"orphans": orphans, "deleted": delete, "min_age": min_age}))
 
 
 def cmd_compact(path: str, max_files: int) -> None:
@@ -105,7 +105,8 @@ def main(argv: list[str] | None = None) -> None:
     elif cmd == "metrics":
         cmd_metrics(path)
     elif cmd == "gc":
-        cmd_gc(path, "--delete" in args)
+        age = float(args[args.index("--min-age") + 1]) if "--min-age" in args else 3600.0
+        cmd_gc(path, "--delete" in args, age)
     elif cmd == "compact":
         mf = int(args[args.index("--max-files") + 1]) if "--max-files" in args else 4
         cmd_compact(path, mf)

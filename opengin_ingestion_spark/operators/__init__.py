@@ -10,7 +10,15 @@ from opengin_ingestion_spark.operators.lww import (  # noqa: F401
     lww_winners_semi,
     lww_winners_window,
 )
-from opengin_ingestion_spark.operators.salt import salted_repartition  # noqa: F401
+from opengin_ingestion_spark.operators.salt import (  # noqa: F401
+    ensure_min_parallelism,
+    salted_repartition,
+)
+from opengin_ingestion_spark.operators.schema_map import (  # noqa: F401
+    SchemaMapping,
+    apply_schema_mapping,
+)
+from opengin_ingestion_spark.operators.compact import compact, rebucket  # noqa: F401
 from opengin_ingestion_spark.operators.evolution import (  # noqa: F401
     SchemaEvolutionError,
     align_to_schema,

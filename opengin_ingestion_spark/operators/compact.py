@@ -28,6 +28,42 @@ def fragmented_buckets(table: GinTable, max_files_per_bucket: int = 4) -> set[in
     return {b for b, n in counts.items() if n > max_files_per_bucket}
 
 
+def rebucket(table: GinTable, new_n_buckets: int, key: str = "url") -> dict:
+    """Change the table's bucket count: rewrite EVERY row under the new
+    ``pmod(xxhash64(key), new_n_buckets)`` scheme in one copy-on-write
+    commit. Use when a table sized by the first batch outgrows its buckets
+    (a bucket's working set must stay within executor memory — see
+    choose_n_buckets). Snapshot-isolated: old snapshots keep their own
+    n_buckets, so time-travel reads still prune correctly."""
+    from pyspark.sql import functions as F
+
+    snap = table.current_snapshot()
+    if new_n_buckets == snap["n_buckets"]:
+        return snap
+    rows = (
+        table.read(snap, include_internal=True)
+        .withColumn(
+            BUCKET_COL,
+            F.pmod(F.xxhash64(F.col(key)), F.lit(new_n_buckets)).cast("int"),
+        )
+        .repartition(new_n_buckets, F.col(BUCKET_COL))
+    )
+    new_files = table.write_data_files(rows, snap["version"] + 1, snap["schema_version"])
+    return table.commit(
+        new_files,
+        replaced_buckets={f["bucket"] for f in snap["files"]},
+        batch_ids=[],
+        metrics={
+            "op": "rebucket",
+            "n_buckets_old": snap["n_buckets"],
+            "n_buckets_new": new_n_buckets,
+            "files_written": len(new_files),
+        },
+        expected_parent=snap["version"],
+        new_n_buckets=new_n_buckets,
+    )
+
+
 def compact(table: GinTable, max_files_per_bucket: int = 4) -> dict:
     """Rewrite fragmented buckets to one file each. Returns the new
     snapshot (or the current one if nothing to do)."""

@@ -89,7 +89,11 @@ def evolve_schema(current: T.StructType, incoming: T.StructType) -> T.StructType
                 f"column {f.name}: cannot evolve {f.dataType.simpleString()} "
                 f"← {inc.dataType.simpleString()}"
             )
-        out.append(T.StructField(f.name, w, f.nullable or inc.nullable))
+        # nullability: KEEP the table's declared contract. Batch schemas
+        # inferred from parquet are always nullable, so OR-ing would flip
+        # every declared non-null column to nullable on first merge (and
+        # spuriously count as a schema change).
+        out.append(T.StructField(f.name, w, f.nullable))
     for g in incoming.fields:
         if g.name not in cur:
             # additive columns must be nullable: old rows have no value

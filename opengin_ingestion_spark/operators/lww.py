@@ -45,12 +45,19 @@ def lww_winners(
     )
 
 
+# above this many winner keys, a forced driver broadcast (8 B/key → ~160 MB
+# at the limit) risks driver/executor memory; below it, forcing BHJ is a
+# clear win because the alternative SMJ shuffles the full payload
+_BROADCAST_KEY_LIMIT = 20_000_000
+
+
 def lww_winners_semi(
     df: DataFrame,
     key: str = "url",
     ts: str = "warc_ts",
     seq: str = "_seq",
-    broadcast: bool = True,
+    broadcast: bool | None = None,
+    est_keys: int | None = None,
 ) -> DataFrame:
     """Payload-free LWW: aggregate ONLY (key, ts, seq) to find winner seqs,
     then join back to recover winner rows.
@@ -58,9 +65,15 @@ def lww_winners_semi(
     This is the scale path for wide payloads (html is ~KB per event): the
     aggregation shuffle moves 24-byte keys instead of full rows, partial
     aggregation collapses hot urls map-side, and the join-back is a
-    broadcast hash join whenever the winner-key set fits the threshold
-    (Catalyst/AQE decides; with typical micro-batches it always does) — so
+    broadcast hash join whenever the winner-key set is small enough — so
     the payload NEVER crosses a shuffle in this operator.
+
+    ``broadcast=None`` (default) auto-selects: the winner-key count is
+    bounded by ``est_keys`` if given (callers in the merge path already
+    know events_in), else by one cheap count of the key column; the forced
+    BHJ hint is applied only under ``_BROADCAST_KEY_LIMIT`` keys, otherwise
+    the join is left to Catalyst/AQE (which can still build a runtime BHJ
+    from actual sizes). Pass True/False to override.
 
     Requires ``seq`` globally unique (CDC sequence numbers are). If the
     input can contain full duplicate rows with the same seq (duplicate
@@ -72,12 +85,10 @@ def lww_winners_semi(
         .agg(F.max(F.struct(F.col(ts), F.col(seq))).alias("_k"))
         .select(F.col(f"_k.{seq}").alias(seq))
     )
+    if broadcast is None:
+        bound = est_keys if est_keys is not None else df.select(key).count()
+        broadcast = bound <= _BROADCAST_KEY_LIMIT
     if broadcast:
-        # Force BHJ: the winner-key set of a micro-batch (8 bytes/url) fits
-        # memory far beyond the 10MB auto threshold, and the alternative is
-        # a sort-merge join that shuffles the full payload — exactly what
-        # this operator exists to avoid. Callers with giant batches (full-
-        # history replays of >100M distinct keys per batch) pass False.
         winner_seqs = F.broadcast(winner_seqs)
     return df.join(winner_seqs, seq)
 

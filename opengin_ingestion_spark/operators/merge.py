@@ -80,6 +80,7 @@ def merge_batch(
     pandas_transform: Callable | None = None,
     transform_fields: list[T.StructField] | None = None,
     max_retries: int = 3,
+    schema_mapping=None,
 ) -> MergeResult:
     """Apply one RAW change batch (columns: op 'I'|'U'|'D'; seq; key; ts;
     payload...) to the table. Idempotent per ``batch_id``.
@@ -89,7 +90,16 @@ def merge_batch(
     — never on superseded revisions, never on unchanged target rows.
     ``transform_fields`` declares the columns it adds (for schema
     evolution), e.g. ``[StructField("text", StringType())]``.
+
+    ``schema_mapping`` (SchemaMapping or its dict form) applies declarative
+    rename/drop/cast rules to the batch BEFORE evolution — a renamed
+    upstream column lands in its existing table column instead of forking
+    an additive old-null/new pair (operators/schema_map.py).
     """
+    if schema_mapping is not None:
+        from opengin_ingestion_spark.operators.schema_map import apply_schema_mapping
+
+        batch_df = apply_schema_mapping(batch_df, schema_mapping)
     last_err: Exception | None = None
     for _attempt in range(max_retries):
         try:
@@ -275,6 +285,9 @@ def _merge_once(
         "lag_seconds": (
             round(time.time() - max_ts.timestamp(), 3) if max_ts is not None else None
         ),
+        # event-time high-water mark (ISO) — the tail's maintenance hook
+        # derives its tombstone-expiry watermark from this
+        "max_event_ts": max_ts.isoformat() if max_ts is not None else None,
     }
     new_snap = table.commit(
         new_files,

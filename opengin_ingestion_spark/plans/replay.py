@@ -100,11 +100,21 @@ def transform_changes(
     return df
 
 
+def estimate_dir_bytes(log_dir: str) -> int:
+    """On-disk bytes of a change-log directory (the auto-bucket-sizing
+    input; file sizes only, no data read)."""
+    total = 0
+    for f in os.listdir(log_dir):
+        if f.endswith(".parquet"):
+            total += os.path.getsize(os.path.join(log_dir, f))
+    return total
+
+
 def replay_changelog(
     spark: SparkSession,
     log_dir: str,
     table_path: str,
-    n_buckets: int = 64,
+    n_buckets: int | None = 64,
     batch_id: int = 0,
     group_files: int | None = None,
 ) -> tuple[GinTable, list[MergeResult]]:
@@ -114,10 +124,19 @@ def replay_changelog(
     pass, each bucket written once). ``group_files=k`` → k files per merge
     batch in filename order (exercises the incremental path; batch ids are
     ``batch_id + i``). Both converge to the same final state (LWW).
+
+    ``n_buckets=None`` → size automatically from the log's on-disk bytes
+    (``choose_n_buckets``): no manual tuning, bucket working sets stay
+    within executor memory. Outgrown tables are fixed later with
+    ``operators.compact.rebucket``.
     """
     if GinTable.exists(table_path):
         table = GinTable.load(spark, table_path)
     else:
+        if n_buckets is None:
+            from opengin_ingestion_spark.sources.gintable import choose_n_buckets
+
+            n_buckets = choose_n_buckets(estimate_dir_bytes(log_dir))
         table = GinTable.create(spark, table_path, PAGES_SCHEMA, n_buckets=n_buckets)
 
     results: list[MergeResult] = []

@@ -64,6 +64,30 @@ class CommitConflict(Exception):
     """Another writer committed the same version first — retry on top."""
 
 
+def choose_n_buckets(
+    est_table_bytes: int,
+    target_bucket_bytes: int = 64 * 1024 * 1024,
+    min_buckets: int = 16,
+    max_buckets: int = 4096,
+) -> int:
+    """Pick a power-of-two bucket count from an estimated table size.
+
+    The bucket is the MERGE rewrite unit AND the memory unit: the
+    bucket-local merge concatenates one bucket partition into a single
+    pandas frame, so a bucket's on-disk parquet (~4× smaller than its
+    in-memory form) must stay well under executor memory.
+    ``target_bucket_bytes`` is on-disk: the 64 MB default ≈ 256 MB in
+    memory ≈ a quarter of a small 1 GB-heap executor — safe everywhere,
+    and small enough that compaction/rewrite tasks stay short. Power of
+    two keeps bucket counts stable-ish across re-estimates and makes
+    rebucketing splits clean.
+    """
+    n = min_buckets
+    while n < max_buckets and est_table_bytes > n * target_bucket_bytes:
+        n *= 2
+    return n
+
+
 # --- applied-batch-id ranges (exactly-once bookkeeping) --------------------
 
 def ranges_add(ranges: list[list[int]], bid: int) -> list[list[int]]:
@@ -320,6 +344,7 @@ class GinTable:
         lineage: list[dict] | None = None,
         new_schema: T.StructType | None = None,
         expected_parent: int | None = None,
+        new_n_buckets: int | None = None,
     ) -> dict:
         """Commit a copy-on-write snapshot: files in ``replaced_buckets``
         are dropped, ``new_files`` added, everything else carried forward.
@@ -346,10 +371,18 @@ class GinTable:
         applied = parent["applied_batch_ranges"]
         for bid in batch_ids:
             applied = ranges_add(applied, bid)
+        if new_n_buckets is not None and new_n_buckets != parent["n_buckets"]:
+            # bucket-count evolution is only sound if EVERY file is rewritten
+            # under the new scheme in this same commit (rebucket does this)
+            if carried:
+                raise ValueError(
+                    "n_buckets change requires replacing all buckets "
+                    f"({len(carried)} files would be carried forward)"
+                )
         snap = {
             "version": parent["version"] + 1,
             "parent": parent["version"],
-            "n_buckets": parent["n_buckets"],
+            "n_buckets": new_n_buckets or parent["n_buckets"],
             "schema_version": schema_version,
             "schemas": schemas,
             "files": carried + [f.to_json() for f in new_files],
@@ -381,19 +414,37 @@ class GinTable:
         snap = self.current_snapshot()
         return {f["path"] for f in snap["files"]}
 
-    def gc_orphans(self, dry_run: bool = True) -> list[str]:
+    def gc_orphans(
+        self, dry_run: bool = True, min_age_seconds: float = 3600.0
+    ) -> list[str]:
         """List (and optionally delete) data files referenced by NO
-        snapshot — leftovers of crashed commits."""
+        snapshot — leftovers of crashed commits.
+
+        ``min_age_seconds`` is the concurrent-writer grace window (same idea
+        as Iceberg's orphan-file min-age): commits intentionally write data
+        files BEFORE their manifest, so a file younger than the window may
+        belong to an in-flight commit — deleting it would leave that commit's
+        manifest referencing missing files. Files newer than the cutoff are
+        never listed, even in dry runs.
+        """
+        import time as _time
+
         referenced: set[str] = set()
         for snap in self.history():
             referenced.update(f["path"] for f in snap["files"])
+        cutoff = _time.time() - min_age_seconds
         orphans = []
         data_root = os.path.join(self.path, DATA_DIR)
         for root, _dirs, fnames in os.walk(data_root):
             for fname in fnames:
-                rel = os.path.relpath(os.path.join(root, fname), self.path)
-                if fname.endswith(".parquet") and rel not in referenced:
+                full = os.path.join(root, fname)
+                rel = os.path.relpath(full, self.path)
+                if (
+                    fname.endswith(".parquet")
+                    and rel not in referenced
+                    and os.path.getmtime(full) < cutoff
+                ):
                     orphans.append(rel)
                     if not dry_run:
-                        os.unlink(os.path.join(self.path, rel))
+                        os.unlink(full)
         return orphans

@@ -21,6 +21,9 @@ executor memory at scale.
 
 from __future__ import annotations
 
+import os
+from datetime import datetime, timedelta
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
@@ -39,16 +42,38 @@ def tail_changelog(
     log_dir: str,
     table_path: str,
     checkpoint_dir: str,
-    n_buckets: int = 64,
+    n_buckets: int | None = 64,
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
     processing_time: str | None = None,
     dead_letter_dir: str | None = None,
+    maintenance_every: int | None = None,
+    tombstone_retention_seconds: float = 7 * 24 * 3600.0,
+    compact_max_files: int = 4,
+    schema_mapping=None,
 ) -> StreamingQuery:
-    """Start the tail. Returns the StreamingQuery (caller awaits/stops)."""
+    """Start the tail. Returns the StreamingQuery (caller awaits/stops).
+
+    ``n_buckets=None`` sizes the table automatically from the log backlog
+    on disk (``choose_n_buckets``; empty dir → the 64-bucket default).
+
+    ``maintenance_every=k`` runs table maintenance inline every k
+    micro-batches (after the merge commit): small-file compaction plus
+    tombstone expiry at (max event time seen − ``tombstone_retention``).
+    Without it a long-running tail accumulates one file per touched bucket
+    per batch and tombstones forever. Maintenance commits are ordinary
+    conflict-checked commits — a crash between merge and maintenance loses
+    only maintenance, never data.
+    """
     if GinTable.exists(table_path):
         table = GinTable.load(spark, table_path)
     else:
+        if n_buckets is None:
+            from opengin_ingestion_spark.plans.replay import estimate_dir_bytes
+            from opengin_ingestion_spark.sources.gintable import choose_n_buckets
+
+            est = estimate_dir_bytes(log_dir) if os.path.isdir(log_dir) else 0
+            n_buckets = choose_n_buckets(est)
         table = GinTable.create(spark, table_path, PAGES_SCHEMA, n_buckets=n_buckets)
 
     stream = read_changelog_stream(
@@ -69,11 +94,27 @@ def tail_changelog(
                     f"{dead_letter_dir}/batch_id={batch_id}"
                 )
             )
-        merge_batch(
+        res = merge_batch(
             table, df, batch_id=batch_id,
             pandas_transform=pages_pandas_transform,
             transform_fields=TRANSFORM_FIELDS,
+            schema_mapping=schema_mapping,
         )
+        if (
+            maintenance_every
+            and not res.skipped
+            and batch_id % maintenance_every == maintenance_every - 1
+        ):
+            from opengin_ingestion_spark.operators.compact import compact
+            from opengin_ingestion_spark.operators.merge import expire_tombstones
+
+            max_ts = res.metrics.get("max_event_ts")
+            if max_ts is not None:
+                watermark = datetime.fromisoformat(max_ts) - timedelta(
+                    seconds=tombstone_retention_seconds
+                )
+                expire_tombstones(table, watermark)
+            compact(table, max_files_per_bucket=compact_max_files)
 
     writer = stream.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", checkpoint_dir

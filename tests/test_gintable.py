@@ -123,10 +123,13 @@ def test_gc_orphans(spark, tmp_path):
     t.commit(files, set(), [0])
     # a crashed commit: files written, never committed
     t.write_data_files(df, 2, 1)
-    orphans = t.gc_orphans(dry_run=True)
-    assert orphans
-    t.gc_orphans(dry_run=False)
+    # grace window: a fresh unreferenced file may be an IN-FLIGHT commit
+    # (data lands before the manifest) — invisible to gc until it ages out
     assert not t.gc_orphans(dry_run=True)
+    orphans = t.gc_orphans(dry_run=True, min_age_seconds=0)
+    assert orphans
+    t.gc_orphans(dry_run=False, min_age_seconds=0)
+    assert not t.gc_orphans(dry_run=True, min_age_seconds=0)
     assert t.read().count() == 8  # live data intact
 
 

@@ -1,0 +1,99 @@
+"""Golden-snapshot regression: recorded expected outputs, re-recordable via
+``UPDATE_GOLDEN_DATA=1`` — the reference's golden-replay workflow
+(/root/reference/python/integration_tests/test_cli_integration.py:43-66,
+DEVELOPER.md:151-159) adapted to this engine.
+
+Two golden families:
+
+* **Oracle snapshots** — the DuckDB oracle result of every oracled contract
+  query at sf0.01, recorded to ``tests/golden/oracle/*.parquet``. The
+  live-recomputed oracle is compared against the recording, so drift in the
+  oracle itself (an edited SQL string, a DuckDB semantics change) is caught
+  instead of silently re-baselining the correctness gate.
+* **Replay snapshot** — the engine's final `pages` state for a fixed
+  ChangeLogSpec, recorded to ``tests/golden/replay_final_state.parquet``.
+  Catches any change to generator/extract/LWW/merge semantics, independent
+  of the in-process pandas oracle (which would drift WITH a shared bug).
+
+Re-record intentionally:  UPDATE_GOLDEN_DATA=1 python -m pytest tests/test_golden.py
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entry_mod
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
+ORACLE_DIR = os.path.join(GOLDEN_DIR, "oracle")
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+UPDATE = os.environ.get("UPDATE_GOLDEN_DATA") == "1"
+
+
+def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic frame shape: sorted columns, stringified objects,
+    tz-naive UTC timestamps, rows sorted by all columns."""
+    pdf = pdf.copy()
+    pdf = pdf[sorted(pdf.columns)]
+    for c in pdf.columns:
+        if pd.api.types.is_datetime64_any_dtype(pdf[c]):
+            s = pd.to_datetime(pdf[c])
+            if getattr(s.dt, "tz", None) is not None:
+                s = s.dt.tz_convert("UTC").dt.tz_localize(None)
+            pdf[c] = s
+        elif pdf[c].dtype == object:
+            pdf[c] = pdf[c].astype(str)
+    return pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
+
+
+def _check_or_record(got: pd.DataFrame, path: str, name: str) -> None:
+    got = _normalize(got)
+    if UPDATE or not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        got.to_parquet(path, index=False)
+        if not UPDATE:
+            pytest.skip(f"golden for {name} recorded (first run); re-run to compare")
+        return
+    want = _normalize(pd.read_parquet(path))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.oracle_sql().keys()))
+def test_oracle_matches_golden(ddb, name):
+    got = ddb.execute(entry_mod.oracle_sql()[name]).df()
+    _check_or_record(got, os.path.join(ORACLE_DIR, f"{name}.parquet"), name)
+
+
+def test_replay_final_state_matches_golden(spark, tmp_path):
+    from opengin_ingestion_spark.plans.replay import replay_changelog
+    from opengin_ingestion_spark.sources.changelog import (
+        ChangeLogSpec,
+        generate_changelog,
+    )
+
+    d = str(tmp_path / "log")
+    generate_changelog(
+        d, ChangeLogSpec(n_events=3_000, n_urls=250, n_batches=6, seed=1234)
+    )
+    table, _ = replay_changelog(spark, d, str(tmp_path / "pages"), n_buckets=16)
+    got = table.read().toPandas()
+    got["html"] = got["html"].map(lambda b: None if b is None else bytes(b))
+    _check_or_record(
+        got, os.path.join(GOLDEN_DIR, "replay_final_state.parquet"), "replay"
+    )
