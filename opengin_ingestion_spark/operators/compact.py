@@ -20,12 +20,16 @@ from opengin_ingestion_spark.sources.gintable import BUCKET_COL, GinTable
 
 
 def fragmented_buckets(table: GinTable, max_files_per_bucket: int = 4) -> set[int]:
-    """Buckets whose live-file count exceeds the threshold."""
+    """Buckets where ANY column family's live-file count exceeds the
+    threshold. On a split table the MERGE keeps base at one file per bucket
+    but appends a heavy file per touched batch — heavy accumulation is the
+    normal compaction trigger."""
     snap = table.current_snapshot()
-    counts: dict[int, int] = {}
+    counts: dict[tuple[int, str], int] = {}
     for f in snap["files"]:
-        counts[f["bucket"]] = counts.get(f["bucket"], 0) + 1
-    return {b for b, n in counts.items() if n > max_files_per_bucket}
+        k = (f["bucket"], f.get("family", "base"))
+        counts[k] = counts.get(k, 0) + 1
+    return {b for (b, _fam), n in counts.items() if n > max_files_per_bucket}
 
 
 def rebucket(table: GinTable, new_n_buckets: int, key: str = "url") -> dict:
@@ -48,7 +52,9 @@ def rebucket(table: GinTable, new_n_buckets: int, key: str = "url") -> dict:
         )
         .repartition(new_n_buckets, F.col(BUCKET_COL))
     )
-    new_files = table.write_data_files(rows, snap["version"] + 1, snap["schema_version"])
+    new_files = table.write_split_data_files(
+        rows, snap["version"] + 1, snap["schema_version"]
+    )
     return table.commit(
         new_files,
         replaced_buckets={f["bucket"] for f in snap["files"]},
@@ -76,7 +82,9 @@ def compact(table: GinTable, max_files_per_bucket: int = 4) -> dict:
         .withColumn(BUCKET_COL, table.bucket_expr("url", snap))
         .repartition(len(buckets), F.col(BUCKET_COL))
     )
-    new_files = table.write_data_files(
+    # full rewrite of the fragmented buckets: both families; stale heavy
+    # rows (superseded payload versions) are dropped here
+    new_files = table.write_split_data_files(
         rows, snap["version"] + 1, snap["schema_version"]
     )
     return table.commit(

@@ -31,10 +31,12 @@ Physical strategy (the scale story — each step sized for 10^10 events):
    the same batch id is a no-op (exactly-once under foreachBatch retry:
    the check happens *inside* the merge, the commit is atomic).
 
-Exactly two Spark actions per merge: a per-bucket input-stats aggregation
-(key/ts/len columns only — it yields touched buckets, events/bytes/lag
-metrics AND per-input-bucket lineage in one pass) and the data-file write
-(full pipeline, exactly once — no persist needed). NOT ``df.observe``:
+Spark actions per merge: a per-bucket input-stats aggregation (key/ts/len
+columns only — it yields touched buckets, events/bytes/lag metrics AND
+per-input-bucket lineage in one pass) and the data-file write. On a
+column-family-split table the write is two actions over ONE persisted
+evaluation of the merge plan: base (light columns, bucket-replace) and
+heavy (batch winners' payloads, append). NOT ``df.observe``:
 Observation.get never resolves inside foreachBatch (the micro-batch
 DataFrame belongs to a cloned SparkSession whose listener events don't
 reach the observation), which zombies the streaming query.
@@ -196,7 +198,13 @@ def _merge_once(
     # --- read ONLY touched buckets of the current snapshot ------------------
     # (include_internal keeps tombstones: they must participate in LWW so a
     # late out-of-order event cannot resurrect a deleted url)
-    target = table.read(snap, buckets=touched, include_internal=True)
+    # include_heavy=False: LWW needs no old payloads — on a column-family-
+    # split table the heavy family is neither read nor rewritten here; a
+    # target winner keeps its referenced heavy row, a batch winner appends
+    # a new one (write amplification ∝ changed rows, not bucket size)
+    target = table.read(
+        snap, buckets=touched, include_internal=True, include_heavy=False
+    )
     target = align_to_schema(target, stored_schema).withColumn(
         OP_COL,
         F.when(F.coalesce(F.col(DELETED_COL), F.lit(False)), F.lit("D")).otherwise(
@@ -257,9 +265,12 @@ def _merge_once(
     merged = bucketed.mapInPandas(merge_partition, schema=out_schema)
 
     # --- action 2: copy-on-write rewrite of touched buckets (already
-    # bucket-partitioned — the write does not shuffle again) ------------------
+    # bucket-partitioned — the write does not shuffle again). On a split
+    # table this writes base (all winners, light cols) + heavy (batch
+    # winners' payloads only: target winners read back with null heavy, so
+    # the isNotNull family filter selects exactly the new payloads) --------
     t_w = time.time()
-    new_files = table.write_data_files(
+    new_files = table.write_split_data_files(
         merged, snap["version"] + 1, schema_version, n_partitions=None
     )
     if _dbg:
@@ -279,7 +290,9 @@ def _merge_once(
         "events_in": events_in,
         "bytes_in": bytes_in,
         "delete_events": delete_events,
-        "rows_written": sum(f.rows for f in new_files),
+        "rows_written": sum(f.rows for f in new_files if f.family == "base"),
+        "bytes_written": sum(f.bytes for f in new_files),
+        "heavy_bytes_written": sum(f.bytes for f in new_files if f.family == "heavy"),
         "buckets_rewritten": len(touched),
         "merge_seconds": round(time.time() - t_start, 3),
         "lag_seconds": (
@@ -297,6 +310,9 @@ def _merge_once(
         lineage={"input": input_lineage, "output": lineage},
         new_schema=evolved_user,
         expected_parent=snap["version"],
+        # heavy family is append-only under MERGE: prior payload files of
+        # the touched buckets stay referenced (their _seqs may still win)
+        replaced_families={"base"},
     )
     return MergeResult(skipped=False, version=new_snap["version"], metrics=metrics)
 
@@ -328,7 +344,9 @@ def expire_tombstones(table: GinTable, watermark_ts) -> dict:
         .filter(~expirable)
         .withColumn(BUCKET_COL, table.bucket_expr("url", snap))
     )
-    new_files = table.write_data_files(
+    # full rewrite: both families replaced — this also purges the expired
+    # tombstones' (and any superseded winners') stale heavy rows
+    new_files = table.write_split_data_files(
         kept, snap["version"] + 1, snap["schema_version"], n_partitions=len(touched)
     )
     return table.commit(

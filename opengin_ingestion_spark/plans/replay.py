@@ -137,7 +137,15 @@ def replay_changelog(
             from opengin_ingestion_spark.sources.gintable import choose_n_buckets
 
             n_buckets = choose_n_buckets(estimate_dir_bytes(log_dir))
-        table = GinTable.create(spark, table_path, PAGES_SCHEMA, n_buckets=n_buckets)
+        # the payload columns (html + extracted text) live in their own
+        # column family: a merge rewrites a touched bucket's light columns
+        # and APPENDS only the batch winners' payloads — write
+        # amplification ∝ changed rows. Reads projecting html/text pay a
+        # _seq join instead (see GinTable.read).
+        table = GinTable.create(
+            spark, table_path, PAGES_SCHEMA, n_buckets=n_buckets,
+            heavy_columns=("html", "text"),
+        )
 
     results: list[MergeResult] = []
     if group_files is None:

