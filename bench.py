@@ -87,6 +87,15 @@ def bench_cdc_replay(spark, n_events: int, n_urls: int) -> dict[str, float]:
 
     base = tempfile.mkdtemp(prefix="bench_cdc_")
     try:
+        # warm the merge path itself (codegen, Arrow transfer, commit I/O)
+        # with a tiny replay so the measured run times the pipeline, not
+        # first-run JIT
+        wlog = os.path.join(base, "warm_log")
+        generate_changelog(wlog, ChangeLogSpec(n_events=20_000, n_urls=2_000,
+                                               n_batches=2, seed=7))
+        replay_changelog(spark, wlog, os.path.join(base, "warm_pages"),
+                         n_buckets=16)
+
         log = os.path.join(base, "log")
         spec = ChangeLogSpec(
             n_events=n_events, n_urls=n_urls, n_batches=8, seed=42

@@ -164,6 +164,13 @@ def main() -> None:
     print(json.dumps(summary))
 
     os.makedirs("BENCH", exist_ok=True)
+    # preserve hand-written analysis sections (anything after the marker)
+    preserved = ""
+    marker = "## Round-2 note"
+    if os.path.exists("BENCH/BASELINE.md"):
+        old = open("BENCH/BASELINE.md").read()
+        if marker in old:
+            preserved = old[old.index(marker):]
     with open("BENCH/BASELINE.md", "w") as fh:
         fh.write(
             f"""# BENCH/BASELINE — CDC replay throughput & scaling efficiency
@@ -214,6 +221,7 @@ builds, no driver-side loops.
   excluded by the warmup; they amortize entirely at 10^10-event scale
   where a micro-batch is minutes, not seconds.
 """
+            + ("\n" + preserved if preserved else "")
         )
 
 

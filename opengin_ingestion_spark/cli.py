@@ -6,8 +6,9 @@ Usage:
     python -m opengin_ingestion_spark.cli info <table_path>
     python -m opengin_ingestion_spark.cli history <table_path>
     python -m opengin_ingestion_spark.cli metrics <table_path>
-    python -m opengin_ingestion_spark.cli gc <table_path> [--delete]
+    python -m opengin_ingestion_spark.cli gc <table_path> [--delete] [--min-age SECONDS]
     python -m opengin_ingestion_spark.cli compact <table_path> [--max-files N]
+    python -m opengin_ingestion_spark.cli rebucket <table_path> --buckets N
 
 `info`/`history`/`metrics`/`gc --dry-run` are driver-only (no Spark
 session — they read manifests); `compact` and `gc --delete` spin one up.
@@ -92,6 +93,16 @@ def cmd_compact(path: str, max_files: int) -> None:
     print(json.dumps({"version": snap["version"], "metrics": snap.get("metrics", {})}))
 
 
+def cmd_rebucket(path: str, n_buckets: int) -> None:
+    from opengin_ingestion_spark.operators.compact import rebucket
+    from opengin_ingestion_spark.session import get_spark
+
+    spark = get_spark(app_name="rebucket")
+    t = GinTable.load(spark, path)
+    snap = rebucket(t, n_buckets)
+    print(json.dumps({"version": snap["version"], "metrics": snap.get("metrics", {})}))
+
+
 def main(argv: list[str] | None = None) -> None:
     args = list(argv if argv is not None else sys.argv[1:])
     if len(args) < 2:
@@ -110,6 +121,9 @@ def main(argv: list[str] | None = None) -> None:
     elif cmd == "compact":
         mf = int(args[args.index("--max-files") + 1]) if "--max-files" in args else 4
         cmd_compact(path, mf)
+    elif cmd == "rebucket":
+        nb = int(args[args.index("--buckets") + 1])
+        cmd_rebucket(path, nb)
     else:
         print(__doc__)
         raise SystemExit(2)

@@ -113,6 +113,22 @@ def test_split_duplicate_delivery_no_row_duplication(spark, tmp_path):
     )
 
 
+def test_merge_target_read_never_scans_heavy(spark, tiny_log, tmp_path):
+    """Plan regression: include_heavy=False reads no heavy files and builds
+    no join — the merge path must never move old payloads; the default read
+    recovers them via the _seq join."""
+    table, _ = replay_changelog(
+        spark, tiny_log["dir"], str(tmp_path / "pages"), n_buckets=8
+    )
+    light_plan = table.read(
+        include_internal=True, include_heavy=False
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in light_plan
+    assert "commit-00000001-heavy" not in light_plan
+    full_plan = table.read()._jdf.queryExecution().executedPlan().toString()
+    assert "Join" in full_plan
+
+
 def test_compaction_purges_stale_heavy_rows(spark, tmp_path):
     """Superseded payload versions accumulate in the heavy family across
     merges; a full-rewrite compaction drops them (heavy rows == live rows
