@@ -351,6 +351,22 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, threshold=0.3)
 
 
+def q_ngram_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dedup grouping: exact n-gram-Jaccard pairs → connected
+    components (iterative min-label propagation) → (node, grp) with grp =
+    smallest reachable doc_id. DuckDB-oracled via a recursive CTE over the
+    same pair predicate — verifies the distributed CC converges to the
+    true transitive closure."""
+    from opengin_ingestion_spark.operators.dedup import (
+        dedup_groups,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.3)
+    return dedup_groups(pairs).select("node", F.col("group").alias("grp"))
+
+
 def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from opengin_ingestion_spark.operators.similarity import lsh_ann_topk
 
@@ -519,6 +535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "embedding_label_stats": q_embedding_label_stats,
         "ngram_jaccard": q_ngram_jaccard,
+        "ngram_dedup_groups": q_ngram_dedup_groups,
         "embedding_neardup": q_embedding_neardup,
         "media_features": q_media_features,
         "fragment_aggregation": q_fragment_aggregation,
@@ -733,6 +750,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id AS id_a, b.vec_id AS id_b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+        """,
+        # same pair predicate as ngram_jaccard, then the TRUE transitive
+        # closure via a recursive CTE — the exact oracle for the engine's
+        # iterative min-label-propagation connected components
+        "ngram_dedup_groups": """
+            WITH RECURSIVE words AS (
+                SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+                FROM words,
+                     unnest(generate_series(1, greatest(len(w)-2, 1))) AS t(i)
+            ), sizes AS (
+                SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+                FROM sh a JOIN sh b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), pairs AS (
+                SELECT id_a, id_b FROM inter
+                JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b
+                WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.3
+            ), edges AS (
+                SELECT id_a AS u, id_b AS v FROM pairs
+                UNION
+                SELECT id_b, id_a FROM pairs
+            ), reach(src, dst) AS (
+                SELECT u, u FROM edges
+                UNION
+                SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u
+            )
+            SELECT src AS node, min(dst) AS grp FROM reach GROUP BY src
         """,
         # reconstructs the same fenced response, strips the fence with the
         # engine's regex, and extracts through DuckDB's independent JSON

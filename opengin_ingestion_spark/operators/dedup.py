@@ -314,6 +314,74 @@ def simhash_pairs(
     )
 
 
+# --- duplicate grouping (connected components) --------------------------------
+
+def dedup_groups(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Transitive duplicate groups from a pair list: (node, group) where
+    ``group`` = the smallest node id reachable through the pair graph —
+    what a real dedup needs after LSH (A≈B and B≈C must collapse to ONE
+    exemplar even when A≉C directly).
+
+    Algorithm: iterative min-label propagation (the simple converging core
+    of large-star/small-star CC, Kiveris et al. 2014 — public knowledge).
+    Each round every node takes the min of its own and its neighbors'
+    labels; rounds needed = graph diameter, which for near-dup clusters is
+    tiny (chains longer than a handful of hops are pathological). Each
+    round is one shuffle on uniformly-distributed node ids; labels are
+    localCheckpoint'd so lineage stays flat; termination is an exact
+    changed-count check (an action per round on the small label frame).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .unionByName(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)  # reused every round
+    )
+    labels = edges.select(F.col("u").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.v == labels.node)
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+                (F.coalesce("nlabel", "label") < F.col("label")).alias("_chg"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = new_labels.filter(F.col("_chg")).count()
+        labels = new_labels.drop("_chg")
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("group"))
+
+
+def dedup_keep_exemplars(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Drop every duplicate except one exemplar per transitive group (the
+    smallest id — deterministic). Rows never appearing in ``pairs`` are
+    kept untouched. The anti-join's build side is (id) only — AQE
+    broadcasts it when it fits and falls back to a key-only shuffle join
+    when the duplicate set is genuinely huge (no forced broadcast: at
+    corpus scale most of a crawl can be duplicates)."""
+    groups = dedup_groups(pairs)
+    losers = groups.filter(F.col("node") != F.col("group")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 # --- exact n-gram Jaccard -------------------------------------------------------
 
 def ngram_jaccard_pairs(

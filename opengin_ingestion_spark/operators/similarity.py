@@ -338,3 +338,118 @@ def lsh_ann_topk(
             F.col("rank"),
         )
     )
+
+
+# --- IVF (inverted-file) ANN ----------------------------------------------------
+
+def train_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    train_sample: int = 4096,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Spherical k-means coarse quantizer trained on a deterministic sample
+    (smallest ids — stable across runs/partitionings, unlike limit()).
+    Driver-side numpy Lloyd iterations on ≤ train_sample rows; the corpus
+    itself never leaves the executors."""
+    pdf = (
+        corpus.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(train_sample)
+        .toPandas()
+    )
+    x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    rng = np.random.RandomState(seed)
+    cent = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = x[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                cent[c] = v / np.linalg.norm(v)
+            else:  # empty cluster: reseed from a random point
+                cent[c] = x[rng.randint(len(x))]
+    return cent
+
+
+def _ivf_assign_udf(centroids: np.ndarray, n_probe: int):
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe_ids(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ centroids.T  # (batch, C)
+        kk = min(n_probe, sims.shape[1])
+        top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        # order probes by similarity (cell 0 = home cell)
+        row = np.take_along_axis(sims, top, axis=1)
+        order = np.argsort(-row, axis=1)
+        out = np.take_along_axis(top, order, axis=1).astype(np.int32)
+        return pd.Series(list(out))
+
+    return probe_ids
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    train_sample: int = 4096,
+    max_cell_size: int = 100_000,
+) -> DataFrame:
+    """IVF approximate self-search top-k — the second scale path next to
+    ``lsh_ann_topk``: a k-means coarse quantizer partitions the corpus into
+    cells; each query compares only against its ``n_probe`` nearest cells,
+    exact cosine re-rank inside. Pair space shrinks from N² to
+    ~N²·n_probe/C with data-adaptive cells (better recall than
+    data-oblivious hyperplanes on clustered embeddings — the realistic
+    case). Cells above ``max_cell_size`` are dropped from the CANDIDATE
+    side only (degenerate-cell guard, observable metric ``ivf_cell_cap``).
+    """
+    from opengin_ingestion_spark.operators.dedup import cap_key_frequency
+
+    centroids = train_centroids(
+        corpus, id_col, vec_col, n_centroids, train_sample, seed=seed
+    )
+    corpus = ensure_min_parallelism(corpus)
+    probed = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        _ivf_assign_udf(centroids, n_probe)(F.col(vec_col)).alias("cells"),
+    ).localCheckpoint(eager=True)  # UDF evaluated once; self-joined below
+    home = probed.select(
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col("cells")[0].alias("cell"),  # a vector is INDEXED in its home cell
+    )
+    home = cap_key_frequency(home, ["cell"], max_cell_size, "ivf_cell")
+    queries = probed.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode("cells").alias("cell"),  # ...but PROBES n_probe cells
+    )
+    cand = (
+        queries.join(home, "cell")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .groupBy("q_id", "c_id")
+        .agg(F.first("q_vec").alias("q_vec"), F.first("c_vec").alias("c_vec"))
+    )
+    scored = cand.withColumn("cos", _cosine("q_vec", "c_vec"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("q_id").alias(id_col),
+            F.col("c_id").alias("neighbor_id"),
+            F.col("rank"),
+        )
+    )

@@ -116,6 +116,55 @@ def test_degenerate_bucket_cap_bounds_pairs(spark):
     assert len(got_sim) < 60
 
 
+def test_dedup_groups_matches_union_find(spark):
+    """Distributed CC == single-threaded union-find on random pair graphs,
+    including multi-hop chains and disjoint cliques."""
+    import random
+
+    rng = random.Random(5)
+    nodes = list(range(200))
+    pairs = []
+    # chains (diameter up to 20) + cliques + random edges
+    for start in (0, 40, 80):
+        pairs += [(start + i, start + i + 1) for i in range(20)]
+    pairs += [(120 + a, 120 + b) for a in range(6) for b in range(a + 1, 6)]
+    pairs += [tuple(sorted(rng.sample(range(130, 200), 2))) for _ in range(30)]
+
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    in_pairs = {n for p in pairs for n in p}
+    expect = {n: min(m for m in in_pairs if find(m) == find(n)) for n in in_pairs}
+
+    from opengin_ingestion_spark.operators.dedup import dedup_groups
+
+    pdf = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {r["node"]: r["group"] for r in dedup_groups(pdf).collect()}
+    assert got == expect
+
+
+def test_dedup_keep_exemplars(spark, corpus):
+    """End-to-end: LSH pairs → transitive groups → one exemplar survives
+    per group, singletons untouched."""
+    from opengin_ingestion_spark.operators.dedup import dedup_keep_exemplars
+
+    pairs = minhash_lsh_pairs(corpus, threshold=0.5)
+    kept = dedup_keep_exemplars(corpus, pairs, "doc_id")
+    ids = {r["doc_id"] for r in kept.collect()}
+    # family A {0,1,2} (near-dups) and family B {3,4} (exact dups) each
+    # collapse to their smallest id; the 20 unique docs all survive
+    assert 0 in ids and 3 in ids
+    assert 4 not in ids
+    assert all(i in ids for i in range(5, 25))
+
+
 def test_shingle_df_cap_drops_stop_shingles(spark):
     """ngram_jaccard with a document-frequency cap: a shingle shared by
     every doc stops producing pairs; pairs from rarer shingles survive."""

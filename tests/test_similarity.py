@@ -107,6 +107,29 @@ def test_exact_neardup_pairs_matches_numpy(vecs):
     assert got_chunked == expect
 
 
+def test_ivf_ann_recall_on_clustered_data(spark):
+    """IVF with data-adaptive centroids: recall@5 vs brute force on
+    clustered embeddings; deterministic across invocations."""
+    from opengin_ingestion_spark.operators.similarity import ivf_ann_topk
+
+    rng = np.random.RandomState(7)
+    centers = rng.standard_normal((8, 16)) * 4
+    rows = []
+    for i in range(160):
+        c = centers[i % 8]
+        rows.append((i, [float(x) for x in (c + 0.3 * rng.standard_normal(16))]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {(r["vec_id"], r["neighbor_id"]) for r in brute_force_topk(df, k=5).collect()}
+    a = {(r["vec_id"], r["neighbor_id"], r["rank"])
+         for r in ivf_ann_topk(df, k=5, n_centroids=8, n_probe=2).collect()}
+    b = {(r["vec_id"], r["neighbor_id"], r["rank"])
+         for r in ivf_ann_topk(df, k=5, n_centroids=8, n_probe=2).collect()}
+    assert a == b, "IVF must be deterministic"
+    approx = {(q, n) for q, n, _ in a}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"IVF recall@5 too low on clustered data: {recall}"
+
+
 def test_embedding_neardup_pairs(spark, vecs):
     """Planted near-identical vectors (cos ≈ 1) are found as near-dup
     pairs; unrelated random vectors are not."""

@@ -88,6 +88,35 @@ def test_streaming_resume_from_checkpoint(spark, tiny_log, tmp_path):
     assert len(bids) == len(set(bids))
 
 
+def test_stream_dedup_within_watermark(spark, tiny_log, tmp_path):
+    """dropDuplicatesWithinWatermark over a log with duplicated events:
+    each seq is emitted exactly once; state is watermark-bounded."""
+    from opengin_ingestion_spark.sources.changelog import make_duplicated_variant
+    from opengin_ingestion_spark.sources.reader import read_changelog_stream
+    from opengin_ingestion_spark.streaming.dedup import dedup_stream
+
+    dup_dir = str(tmp_path / "dup_log")
+    make_duplicated_variant(tiny_log["dir"], dup_dir, dup_batches=[0, 3])
+    stream = read_changelog_stream(spark, dup_dir, max_files_per_trigger=4)
+    deduped = dedup_stream(stream, keys=["seq"], ts_col="warc_ts", lateness="2 hours")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    out = spark.sql("SELECT seq, count(*) n FROM dedup_out GROUP BY seq")
+    dup_emitted = out.filter(F.col("n") > 1).count()
+    total = out.count()
+    n_src = spark.read.parquet(tiny_log["dir"]).select("seq").distinct().count()
+    assert total == n_src, "every distinct event exactly once"
+    assert dup_emitted == 0
+    spark.catalog.dropTempView("dedup_out")
+
+
 def test_dead_letter_split(spark, tiny_log, tmp_path):
     """A poisoned batch file: bad rows land in the dead-letter dir with
     reasons; good rows are merged; the run completes."""
