@@ -483,7 +483,10 @@ def q_cdc_replay_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keyed by the spec hash (stale-proof) and populated via write-to-temp +
     # atomic rename (race-proof against concurrent drivers).
     spec = ChangeLogSpec(n_events=5_000, n_urls=500, n_batches=5, seed=42)
-    spec_key = hashlib.sha256(repr(spec).encode()).hexdigest()[:16]
+    # ENGINE_REV salts the cache key: bump whenever replay/extract/table
+    # semantics change, or a stale cached table silently serves old results
+    ENGINE_REV = "r2-colfam"
+    spec_key = hashlib.sha256(f"{ENGINE_REV}|{spec!r}".encode()).hexdigest()[:16]
     base = f"/tmp/opengin_entry_cache_{spec_key}"
     log = os.path.join(base, "log")
     table_path = os.path.join(base, "pages")
@@ -842,7 +845,7 @@ def oracle_sql() -> dict[str, str]:
         # stub's fixed 16
         "media_features": """
             SELECT doc_id AS media_id, sha256(text) AS sha256,
-                   16 AS feature_dim
+                   CASE WHEN text IS NULL THEN NULL ELSE 16 END AS feature_dim
             FROM documents
         """,
     }

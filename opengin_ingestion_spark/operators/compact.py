@@ -46,10 +46,7 @@ def rebucket(table: GinTable, new_n_buckets: int, key: str = "url") -> dict:
         return snap
     rows = (
         table.read(snap, include_internal=True)
-        .withColumn(
-            BUCKET_COL,
-            F.pmod(F.xxhash64(F.col(key)), F.lit(new_n_buckets)).cast("int"),
-        )
+        .withColumn(BUCKET_COL, table.bucket_expr(key, snap, n_buckets=new_n_buckets))
         .repartition(new_n_buckets, F.col(BUCKET_COL))
     )
     new_files = table.write_split_data_files(

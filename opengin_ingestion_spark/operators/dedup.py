@@ -363,6 +363,13 @@ def dedup_groups(
         labels = new_labels.drop("_chg")
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"dedup_groups did not converge within {max_iter} rounds "
+            f"({changed} labels still changing) — a component's diameter "
+            "exceeds max_iter; raise it (rounds = diameter) rather than "
+            "accept silently-wrong groups"
+        )
     return labels.select("node", F.col("label").alias("group"))
 
 

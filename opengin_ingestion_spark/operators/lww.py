@@ -68,12 +68,12 @@ def lww_winners_semi(
     broadcast hash join whenever the winner-key set is small enough — so
     the payload NEVER crosses a shuffle in this operator.
 
-    ``broadcast=None`` (default) auto-selects: the winner-key count is
-    bounded by ``est_keys`` if given (callers in the merge path already
-    know events_in), else by one cheap count of the key column; the forced
-    BHJ hint is applied only under ``_BROADCAST_KEY_LIMIT`` keys, otherwise
-    the join is left to Catalyst/AQE (which can still build a runtime BHJ
-    from actual sizes). Pass True/False to override.
+    ``broadcast=None`` (default) auto-selects: with ``est_keys`` (callers
+    in the merge path already know events_in, an upper bound on winners)
+    the BHJ hint is forced only under ``_BROADCAST_KEY_LIMIT`` keys; with
+    NO estimate, no extra action is spent — the join is left unhinted and
+    AQE builds a runtime BHJ from the aggregate's actual size whenever it
+    fits. Pass True/False to override.
 
     Requires ``seq`` globally unique (CDC sequence numbers are). If the
     input can contain full duplicate rows with the same seq (duplicate
@@ -86,8 +86,7 @@ def lww_winners_semi(
         .select(F.col(f"_k.{seq}").alias(seq))
     )
     if broadcast is None:
-        bound = est_keys if est_keys is not None else df.select(key).count()
-        broadcast = bound <= _BROADCAST_KEY_LIMIT
+        broadcast = est_keys is not None and est_keys <= _BROADCAST_KEY_LIMIT
     if broadcast:
         winner_seqs = F.broadcast(winner_seqs)
     return df.join(winner_seqs, seq)

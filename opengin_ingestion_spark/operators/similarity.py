@@ -45,6 +45,16 @@ def _cosine(a_col: str, b_col: str) -> F.Column:
     return dot / (norm(a_col) * norm(b_col))
 
 
+
+def _safe_normalize(m: np.ndarray) -> np.ndarray:
+    """Row-normalize; zero-norm rows (encoder failures) stay all-zero
+    instead of becoming NaN — NaN poisons argpartition (NaN sorts as
+    maximal), evicting a real candidate from every query's local top-k."""
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0.0] = 1.0
+    return m / n
+
+
 _TOPK_SCHEMA = T.StructType(
     [
         T.StructField("q_id", T.LongType()),
@@ -72,8 +82,7 @@ def _query_chunks(
         if len(pdf) == 0:
             continue
         ids = pdf[id_col].to_numpy()
-        m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        m = _safe_normalize(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
         yield ids, m
 
 
@@ -112,8 +121,9 @@ def brute_force_topk(
             q_ids_l, qm_l = _bc.value
             for pdf in batches:
                 c_ids = pdf[id_col].to_numpy()
-                cm = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-                cm /= np.linalg.norm(cm, axis=1, keepdims=True)
+                cm = _safe_normalize(
+                    np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                )
                 sims = cm @ qm_l.T  # (batch, nq)
                 sims[c_ids[:, None] == q_ids_l[None, :]] = -np.inf  # self
                 kk = min(k, sims.shape[0])
@@ -175,8 +185,9 @@ def exact_neardup_pairs(
             q_ids_l, qm_l = _bc.value
             for pdf in batches:
                 c_ids = pdf[id_col].to_numpy()
-                cm = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-                cm /= np.linalg.norm(cm, axis=1, keepdims=True)
+                cm = _safe_normalize(
+                    np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                )
                 sims = cm @ qm_l.T  # (batch, nq)
                 # id_a < id_b keeps each pair once, and drops self-pairs
                 keep = (sims >= threshold) & (c_ids[:, None] < q_ids_l[None, :])
@@ -361,8 +372,7 @@ def train_centroids(
         .limit(train_sample)
         .toPandas()
     )
-    x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    x = _safe_normalize(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
     rng = np.random.RandomState(seed)
     cent = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
     for _ in range(iters):
@@ -380,8 +390,7 @@ def train_centroids(
 def _ivf_assign_udf(centroids: np.ndarray, n_probe: int):
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def probe_ids(vecs: pd.Series) -> pd.Series:
-        m = np.stack(vecs.to_numpy()).astype(np.float64)
-        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        m = _safe_normalize(np.stack(vecs.to_numpy()).astype(np.float64))
         sims = m @ centroids.T  # (batch, C)
         kk = min(n_probe, sims.shape[1])
         top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]

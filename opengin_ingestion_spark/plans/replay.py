@@ -142,10 +142,13 @@ def replay_changelog(
         # and APPENDS only the batch winners' payloads — write
         # amplification ∝ changed rows. Reads projecting html/text pay a
         # _seq join instead (see GinTable.read).
-        table = GinTable.create(
-            spark, table_path, PAGES_SCHEMA, n_buckets=n_buckets,
-            heavy_columns=("html", "text"),
-        )
+        try:
+            table = GinTable.create(
+                spark, table_path, PAGES_SCHEMA, n_buckets=n_buckets,
+                heavy_columns=("html", "text"),
+            )
+        except FileExistsError:  # concurrent driver won the create race
+            table = GinTable.load(spark, table_path)
 
     results: list[MergeResult] = []
     if group_files is None:

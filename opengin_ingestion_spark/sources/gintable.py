@@ -171,7 +171,13 @@ class GinTable:
         os.makedirs(t._manifest_dir, exist_ok=False)
         os.makedirs(os.path.join(t.path, DATA_DIR), exist_ok=True)
         stored = GinTable._with_internal(schema)
-        heavy = [c for c in (heavy_columns or ()) if c in schema.fieldNames()]
+        heavy = list(heavy_columns or ())
+        unknown = [c for c in heavy if c not in schema.fieldNames()]
+        if unknown:
+            raise ValueError(
+                f"heavy_columns not in schema: {unknown} "
+                f"(schema has {schema.fieldNames()})"
+            )
         snap = {
             "version": 0,
             "parent": None,
@@ -271,10 +277,18 @@ class GinTable:
         snap = snap or self.current_snapshot()
         return snap.get("column_families", {}).get("heavy", [])
 
-    def bucket_expr(self, key_col: str = "url", snap: dict | None = None):
+    def bucket_expr(
+        self,
+        key_col: str = "url",
+        snap: dict | None = None,
+        n_buckets: int | None = None,
+    ):
         """Bucket assignment expression — MUST be used identically on write
-        and on merge probe so pruning is sound."""
-        return F.pmod(F.xxhash64(F.col(key_col)), F.lit(self.n_buckets(snap))).cast("int")
+        and on merge probe so pruning is sound (rebucket passes the NEW
+        count through ``n_buckets`` so there is exactly one definition of
+        the hash)."""
+        n = n_buckets if n_buckets is not None else self.n_buckets(snap)
+        return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n)).cast("int")
 
     # -- read path ----------------------------------------------------------
 

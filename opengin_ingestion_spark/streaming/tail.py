@@ -55,7 +55,8 @@ def tail_changelog(
     """Start the tail. Returns the StreamingQuery (caller awaits/stops).
 
     ``n_buckets=None`` sizes the table automatically from the log backlog
-    on disk (``choose_n_buckets``; empty dir → the 64-bucket default).
+    on disk (``choose_n_buckets``; an empty dir estimates 0 bytes → the
+    16-bucket floor; rebucket later if the table outgrows it).
 
     ``maintenance_every=k`` runs table maintenance inline every k
     micro-batches (after the merge commit): small-file compaction plus
@@ -74,10 +75,13 @@ def tail_changelog(
 
             est = estimate_dir_bytes(log_dir) if os.path.isdir(log_dir) else 0
             n_buckets = choose_n_buckets(est)
-        table = GinTable.create(
-            spark, table_path, PAGES_SCHEMA, n_buckets=n_buckets,
-            heavy_columns=("html", "text"),
-        )
+        try:
+            table = GinTable.create(
+                spark, table_path, PAGES_SCHEMA, n_buckets=n_buckets,
+                heavy_columns=("html", "text"),
+            )
+        except FileExistsError:  # concurrent driver won the create race
+            table = GinTable.load(spark, table_path)
 
     stream = read_changelog_stream(
         spark, log_dir, max_files_per_trigger=max_files_per_trigger

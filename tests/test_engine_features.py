@@ -56,6 +56,23 @@ def test_replay_auto_buckets(spark, tiny_log, tmp_path):
     assert_states_equal(engine, oracle_final_state(tiny_log["dir"]))
 
 
+def test_soak_200k_auto_buckets(spark, tmp_path):
+    """200k-event incremental replay with NO manual bucket tuning
+    (n_buckets=None): converges to the oracle, applied ranges compact."""
+    d = str(tmp_path / "log")
+    generate_changelog(
+        d, ChangeLogSpec(n_events=200_000, n_urls=20_000, n_batches=8, seed=99)
+    )
+    table, results = replay_changelog(
+        spark, d, str(tmp_path / "pages"), n_buckets=None, group_files=2
+    )
+    assert table.n_buckets() >= 16
+    assert table.current_snapshot()["applied_batch_ranges"] == [[0, 3]]
+    assert_states_equal(
+        table.read(include_internal=True).toPandas(), oracle_final_state(d)
+    )
+
+
 # --- rebucket ----------------------------------------------------------------
 
 def test_rebucket_preserves_state_and_updates_pruning(spark, tiny_log, tmp_path):
@@ -125,14 +142,17 @@ def test_lww_semi_auto_broadcast_both_sides(spark, est_keys):
         assert "BroadcastHashJoin" not in plan
 
 
-def test_lww_semi_auto_counts_when_no_estimate(spark):
+def test_lww_semi_auto_no_estimate_is_unhinted_and_correct(spark):
+    """Without an estimate the auto mode spends NO extra action (no
+    count()) and leaves the join to AQE; results still correct."""
     rows = [(f"u{i%3}", i, i) for i in range(30)]
     df = spark.createDataFrame(rows, "url string, _seq long, v long").withColumn(
         "warc_ts", F.timestamp_seconds(F.col("_seq"))
     )
-    out = lww_winners_semi(df)  # no est_keys → counts, small → broadcast
+    out = lww_winners_semi(df)
     assert out.count() == 3
-    assert "Broadcast" in out._jdf.queryExecution().executedPlan().toString()
+    static_plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "AdaptiveSparkPlan" in static_plan  # AQE owns the join strategy
 
 
 # --- declarative schema mapping ------------------------------------------------

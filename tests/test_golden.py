@@ -56,12 +56,16 @@ def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
 
 def _check_or_record(got: pd.DataFrame, path: str, name: str) -> None:
     got = _normalize(got)
-    if UPDATE or not os.path.exists(path):
+    if UPDATE:
         os.makedirs(os.path.dirname(path), exist_ok=True)
         got.to_parquet(path, index=False)
-        if not UPDATE:
-            pytest.skip(f"golden for {name} recorded (first run); re-run to compare")
         return
+    # a missing golden is a FAILURE, not a record-and-skip: otherwise a new
+    # query whose golden was never committed passes CI forever uncompared
+    assert os.path.exists(path), (
+        f"no golden recorded for {name} — run UPDATE_GOLDEN_DATA=1 "
+        "python -m pytest tests/test_golden.py and commit tests/golden/"
+    )
     want = _normalize(pd.read_parquet(path))
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
