@@ -122,6 +122,19 @@ def q_ordered_event_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization in batch (the exact oracle shape of the engine's
+    applyInPandasWithState streaming sessionizer): per-user sessions split
+    by >600s of event-time silence. lag → running-sum numbering → one
+    aggregate; integer-microsecond arithmetic on both engines."""
+    from opengin_ingestion_spark.operators.aggregate_tables import gap_sessions
+
+    ev = _t(spark, sf_dir, "events")
+    return gap_sessions(
+        ev, key_col="user_id", ts_col="ts", seq_col="event_id", gap_seconds=600
+    )
+
+
 def q_dedup_events_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: first event id per identical (user, type, value)."""
     ev = _t(spark, sf_dir, "events")
@@ -521,6 +534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_activity": q_hourly_activity,
         "running_total": q_running_total,
         "dedup_events_exact": q_dedup_events_exact,
+        "event_sessions": q_event_sessions,
         "ordered_event_log": q_ordered_event_log,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
@@ -599,6 +613,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, event_type, value,
                    min(event_id) AS first_event_id
             FROM events GROUP BY 1, 2, 3
+        """,
+        "event_sessions": """
+            WITH numbered AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                              OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                 > 600 * 1000000
+                            THEN 1 ELSE 0 END AS is_new
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+                SELECT user_id, ts,
+                       sum(is_new) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS _sess
+                FROM numbered
+            )
+            SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n_events
+            FROM sess GROUP BY user_id, _sess
         """,
         "ordered_event_log": """
             SELECT user_id,

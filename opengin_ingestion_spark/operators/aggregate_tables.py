@@ -77,3 +77,41 @@ def aggregate_table_fragments(
         "n_fragments",
         F.size(rows_col).alias("n_rows"),
     )
+
+
+def gap_sessions(
+    df: DataFrame,
+    key_col: str = "url",
+    ts_col: str = "warc_ts",
+    seq_col: str = "_seq",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Batch gap-sessionization: consecutive events of a key closer than
+    ``gap_seconds`` form one session. The classic two-window formulation —
+    lag() flags session starts, a running sum numbers them, one aggregate
+    collapses each — both shuffles on the (uniform) key. This is the exact
+    batch ORACLE for streaming/windows.py::sessionize (same semantics,
+    bounded state there)."""
+    w = Window.partitionBy(key_col).orderBy(ts_col, seq_col)
+    prev_ts = F.lag(ts_col).over(w)
+    # integer microseconds on both engines (unix_micros / epoch_us) — a
+    # fractional-seconds epoch() would truncate differently at boundaries
+    # cast: unix_micros needs TIMESTAMP; TIMESTAMP_NTZ inputs (the events
+    # fixture) convert via the UTC session tz — exact, engine-agnostic
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    is_new = F.when(
+        prev_ts.isNull()
+        | (us(F.col(ts_col)) - us(prev_ts) > gap_seconds * 1_000_000),
+        1,
+    ).otherwise(0)
+    numbered = df.withColumn(
+        "_sess",
+        F.sum(is_new).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return numbered.groupBy(key_col, "_sess").agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    ).select(key_col, "session_start", "session_end", "n_events")
