@@ -147,6 +147,36 @@ def q_dedup_events_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Relational coverage over the TPC-H-ish tables (joins/aggs/windows/set ops)
 # ---------------------------------------------------------------------------
 
+def q_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 on a real column: JSON extraction from the events `props` string
+    (get_json_object ↔ DuckDB json_extract_string), aggregated per type."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(k).alias("n_with_k"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+def q_region_customer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-chain join region ← nation ← customer with decimal-exact
+    balance aggregation."""
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    j = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return j.groupBy("r_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_acctbal"),
+    )
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     dec2 = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
@@ -535,6 +565,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_total": q_running_total,
         "dedup_events_exact": q_dedup_events_exact,
         "event_sessions": q_event_sessions,
+        "props_json_stats": q_props_json_stats,
+        "region_customer_stats": q_region_customer_stats,
         "ordered_event_log": q_ordered_event_log,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
@@ -642,6 +674,27 @@ def oracle_sql() -> dict[str, str]:
                    ) AS type_seq,
                    count(*) AS n_events
             FROM events GROUP BY user_id
+        """,
+        "props_json_stats": """
+            SELECT event_type,
+                   count(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                       AS n_with_k,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                       AS BIGINT) AS sum_k,
+                   min(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                       AS min_k,
+                   max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                       AS max_k
+            FROM events GROUP BY event_type
+        """,
+        "region_customer_stats": """
+            SELECT r_name, count(*) AS n_customers,
+                   CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                       AS sum_acctbal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
