@@ -114,14 +114,21 @@ def tail_changelog(
         ):
             from opengin_ingestion_spark.operators.compact import compact
             from opengin_ingestion_spark.operators.merge import expire_tombstones
+            from opengin_ingestion_spark.sources.gintable import CommitConflict
 
-            max_ts = res.metrics.get("max_event_ts")
-            if max_ts is not None:
-                watermark = datetime.fromisoformat(max_ts) - timedelta(
-                    seconds=tombstone_retention_seconds
-                )
-                expire_tombstones(table, watermark)
-            compact(table, max_files_per_bucket=compact_max_files)
+            # maintenance is best-effort: a concurrent writer winning the
+            # commit race must not fail the micro-batch (the MERGE is
+            # already committed; the next maintenance window retries)
+            try:
+                max_ts = res.metrics.get("max_event_ts")
+                if max_ts is not None:
+                    watermark = datetime.fromisoformat(max_ts) - timedelta(
+                        seconds=tombstone_retention_seconds
+                    )
+                    expire_tombstones(table, watermark)
+                compact(table, max_files_per_bucket=compact_max_files)
+            except CommitConflict:
+                pass
 
     writer = stream.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", checkpoint_dir
