@@ -16,6 +16,11 @@ from opengin_ingestion_spark.sources.changelog import (  # noqa: F401
     make_html,
     make_shuffled_variant,
 )
+from opengin_ingestion_spark.sources.gintable import (  # noqa: F401
+    GinTable,
+    choose_n_buckets,
+    table_changes,
+)
 from opengin_ingestion_spark.sources.reader import (  # noqa: F401
     read_changelog,
     read_changelog_stream,

@@ -562,3 +562,58 @@ class GinTable:
                     if not dry_run:
                         os.unlink(full)
         return orphans
+
+
+def table_changes(
+    table: "GinTable", from_version: int, to_version: int | None = None
+) -> DataFrame:
+    """CDC-out: the row-level delta between two snapshots — what a
+    downstream incremental consumer reads instead of re-scanning the table
+    (the engine's analog of Iceberg's incremental read / changelog scan).
+
+    Returns rows of ``to_version`` state that did not exist at
+    ``from_version`` (new/updated winners AND fresh tombstones, flagged by
+    ``_change_type`` = upsert|delete). Physical shape: only buckets whose
+    base files CHANGED between the snapshots are read on either side
+    (manifest diff — work ∝ changed buckets, not table size), then a
+    key-only anti-join on (url, _seq, _deleted) removes carried-forward
+    rows that merely live in rewritten files.
+    """
+    snap_to = table.snapshot(to_version) if to_version is not None else table.current_snapshot()
+    snap_from = table.snapshot(from_version)
+
+    def base_files(snap):
+        return {
+            f["path"]: f for f in snap["files"] if f.get("family", "base") == "base"
+        }
+
+    f_from, f_to = base_files(snap_from), base_files(snap_to)
+    changed_buckets = {
+        f["bucket"]
+        for p, f in f_to.items()
+        if p not in f_from
+    } | {
+        f["bucket"]
+        for p, f in f_from.items()
+        if p not in f_to
+    }
+    if not changed_buckets:
+        schema = table.schema(snap_to, include_internal=True)
+        empty = table.spark.createDataFrame([], schema)
+        return empty.withColumn("_change_type", F.lit("upsert")).limit(0)
+
+    new_state = table.read(snap_to, buckets=changed_buckets, include_internal=True)
+    old_keys = table.read(
+        snap_from, buckets=changed_buckets, include_internal=True,
+        include_heavy=False,
+    ).select("url", SEQ_COL, DELETED_COL)
+    delta = new_state.join(old_keys, ["url", SEQ_COL, DELETED_COL], "left_anti")
+    # the join moved its keys to the front — restore canonical schema order
+    delta = delta.select(
+        *[f.name for f in table.schema(snap_to, include_internal=True).fields]
+    )
+    return delta.withColumn(
+        "_change_type",
+        F.when(F.coalesce(F.col(DELETED_COL), F.lit(False)), F.lit("delete"))
+        .otherwise(F.lit("upsert")),
+    )

@@ -6,6 +6,8 @@ import os
 import shutil
 import time
 
+from pyspark.sql import functions as F
+
 from opengin_ingestion_spark.plans.replay import replay_changelog
 from opengin_ingestion_spark.sources.changelog import ChangeLogSpec, generate_changelog
 from opengin_ingestion_spark.sources.gintable import GinTable
@@ -80,3 +82,46 @@ def test_live_tail_picks_up_new_files(spark, tmp_path):
     t = GinTable.load(spark, str(tmp_path / "pages"))
     engine = t.read(include_internal=True).toPandas()
     assert_states_equal(engine, oracle_final_state(log))
+
+
+def test_table_changes_incremental_read(spark, tiny_log, tmp_path):
+    """CDC-out: the delta between consecutive snapshots reproduces exactly
+    the batch LWW effects — replaying all deltas on top of the v_from
+    state reconstructs the final state; carried-forward rows never appear."""
+    from opengin_ingestion_spark.plans.replay import replay_changelog
+    from opengin_ingestion_spark.sources.gintable import GinTable, table_changes
+
+    table, results = replay_changelog(
+        spark, tiny_log["dir"], str(tmp_path / "pages"), n_buckets=8,
+        group_files=2,
+    )
+    versions = [r.version for r in results]
+    assert len(versions) >= 3
+
+    # delta between v0 (empty) and final == full internal state
+    full_delta = table_changes(table, 0).drop("_change_type")
+    full = table.read(include_internal=True)
+    assert sorted(map(tuple, full_delta.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+
+    # per-step deltas: each row of the final state appears in EXACTLY the
+    # step that produced its (_seq); no carried row is re-emitted
+    steps = [0] + versions
+    seen_seqs: list[int] = []
+    for a, b in zip(steps, steps[1:]):
+        d = table_changes(table, a, b)
+        seqs = [r["_seq"] for r in d.select("_seq").collect()]
+        assert len(seqs) == len(set(seqs))
+        seen_seqs += seqs
+    final_seqs = [r["_seq"] for r in full.select("_seq").collect()]
+    # every final row was emitted by some step; a seq superseded in a LATER
+    # step may appear twice across steps (as winner then replaced) — but
+    # the FINAL winners must each appear at least once
+    assert set(final_seqs) <= set(seen_seqs)
+
+    # change types: deletes flagged
+    d_all = table_changes(table, 0)
+    n_tomb = d_all.filter(F.col("_change_type") == "delete").count()
+    internal = full.toPandas()
+    assert n_tomb == int(internal["_deleted"].fillna(False).sum())
