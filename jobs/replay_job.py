@@ -21,9 +21,14 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--log-dir", required=True)
     p.add_argument("--table", required=True)
-    p.add_argument("--buckets", type=int, default=64)
+    p.add_argument("--buckets", type=int, default=None,
+                   help="bucket count; default: auto-size from log bytes")
     p.add_argument("--streaming", action="store_true")
     p.add_argument("--checkpoint", default=None)
+    p.add_argument("--maintenance-every", type=int, default=None,
+                   help="run compaction + tombstone expiry every N batches")
+    p.add_argument("--tombstone-retention", type=float, default=7 * 24 * 3600.0,
+                   help="seconds; must exceed the source's lateness bound")
     p.add_argument("--generate-events", type=int, default=0,
                    help="generate a synthetic log first (driver-side, seeded)")
     args = p.parse_args()
@@ -56,6 +61,8 @@ def main() -> None:
         q = tail_changelog(
             spark, args.log_dir, args.table, ckpt,
             n_buckets=args.buckets, available_now=True,
+            maintenance_every=args.maintenance_every,
+            tombstone_retention_seconds=args.tombstone_retention,
         )
         q.awaitTermination()
     else:
@@ -73,7 +80,11 @@ def main() -> None:
             {
                 "version": snap["version"],
                 "applied": snap["applied_batch_ranges"],
-                "rows_written": sum(f["rows"] for f in snap["files"]),
+                "rows_written": sum(
+                    f["rows"] for f in snap["files"]
+                    if f.get("family", "base") == "base"
+                ),
+                "n_buckets": snap["n_buckets"],
                 "metrics": snap["metrics"],
             }
         )
