@@ -334,6 +334,43 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", fingerprint("text").alias("fp"))
 
 
+def q_doc_name_sanitize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 filename sanitization (reference exporter.py:55-57) on exporty
+    names synthesized from documents — exercises the engine's
+    sanitize_name against DuckDB's independent regex engine."""
+    from opengin_ingestion_spark.functions.json_parse import sanitize_name
+
+    docs = _t(spark, sf_dir, "documents")
+    raw = F.concat_ws(
+        " ", F.col("source"), F.lit("Doc #"), F.col("doc_id"), F.lit("(v2)")
+    )
+    return docs.select("doc_id", sanitize_name(raw).alias("fname"))
+
+
+def q_media_mime_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata without codecs: magic-byte mime sniffing over
+    binary payloads (some deterministically prefixed with PNG/WAV magic),
+    aggregated — the codec-free half of the multimodal surface, oracled."""
+    from opengin_ingestion_spark.operators.multimodal import media_metadata
+
+    docs = _t(spark, sf_dir, "documents")
+    payload = (
+        F.when(F.col("n_chars") % 4 == 0, F.concat(F.lit(b"\x89PNG"), F.encode("text", "utf-8")))
+        .when(F.col("n_chars") % 4 == 1, F.concat(F.lit(b"RIFF"), F.encode("text", "utf-8")))
+        .otherwise(F.encode("text", "utf-8"))
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        payload.alias("payload"),
+    )
+    meta = media_metadata(media)
+    return meta.groupBy("mime").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("payload_bytes").alias("sum_bytes"),
+    )
+
+
 def q_docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from opengin_ingestion_spark.operators.dedup import exact_dedup
 
@@ -581,6 +618,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "doc_fingerprint": q_doc_fingerprint,
         "docs_exact_dedup": q_docs_exact_dedup,
+        "doc_name_sanitize": q_doc_name_sanitize,
+        "media_mime_stats": q_media_mime_stats,
         "ann_topk": q_ann_topk,
         "embedding_label_stats": q_embedding_label_stats,
         "ngram_jaccard": q_ngram_jaccard,
@@ -794,6 +833,30 @@ def oracle_sql() -> dict[str, str]:
         "docs_exact_dedup": """
             SELECT min(doc_id) AS keep_id, md5(text) AS text_fp
             FROM documents GROUP BY text
+        """,
+        "doc_name_sanitize": r"""
+            SELECT doc_id,
+                   regexp_replace(
+                       regexp_replace(
+                           lower(trim(source || ' Doc # ' || doc_id || ' (v2)')),
+                           '\s+', '_', 'g'),
+                       '[^a-z0-9_-]', '', 'g') AS fname
+            FROM documents
+        """,
+        # payload prefixes chosen per n_chars%4 in the query; length() of a
+        # BLOB is bytes in DuckDB, octet_length of utf-8 text + magic bytes
+        "media_mime_stats": """
+            WITH m AS (
+                SELECT CASE WHEN n_chars % 4 = 0 THEN 'image/png'
+                            WHEN n_chars % 4 = 1 THEN 'audio/wav'
+                            ELSE 'application/octet-stream' END AS mime,
+                       octet_length(CAST(text AS BLOB))
+                         + CASE WHEN n_chars % 4 IN (0, 1) THEN 4 ELSE 0 END
+                           AS nbytes
+                FROM documents
+            )
+            SELECT mime, count(*) AS n, CAST(sum(nbytes) AS BIGINT) AS sum_bytes
+            FROM m GROUP BY mime
         """,
         "ann_topk": """
             WITH pairs AS (
