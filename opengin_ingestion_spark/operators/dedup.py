@@ -25,6 +25,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from opengin_ingestion_spark.operators.salt import ensure_min_parallelism
+
 
 def cap_key_frequency(
     df: DataFrame, keys: list[str], cap: int, metric: str
@@ -106,8 +108,6 @@ def minhash_signatures(
     ~2× cheaper per row than n string hashes, identical LSH properties
     (murmur3 over a 64-bit universal hash is still a uniform family).
     """
-    from opengin_ingestion_spark.operators.salt import ensure_min_parallelism
-
     df = ensure_min_parallelism(df)
     sh = word_shingles(df, text_col, id_col, k=shingle_k, distinct=False)
     hashed = sh.select(id_col, F.xxhash64("shingle").alias("_h"))
@@ -265,8 +265,6 @@ def simhash_pairs(
     Band buckets above ``max_bucket_size`` are dropped (observable metric
     ``simhash_band_cap``) — the degenerate-bucket guard, see
     ``cap_key_frequency``."""
-    from opengin_ingestion_spark.operators.salt import ensure_min_parallelism
-
     n_bands = max_hamming + 1
     width = 64 // n_bands
     df = ensure_min_parallelism(df)
@@ -412,8 +410,6 @@ def ngram_jaccard_pairs(
     |A| are computed pre-cap, so when the cap does fire at scale the error
     is one-sided (Jaccard under-estimates; a pair is never over-reported).
     """
-    from opengin_ingestion_spark.operators.salt import ensure_min_parallelism
-
     df = ensure_min_parallelism(df)
     sh = word_shingles(df, text_col, id_col, k=k)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))

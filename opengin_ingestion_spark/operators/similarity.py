@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
+from opengin_ingestion_spark.operators.dedup import cap_key_frequency
 from opengin_ingestion_spark.operators.salt import ensure_min_parallelism
 
 
@@ -43,7 +44,6 @@ def _cosine(a_col: str, b_col: str) -> F.Column:
         )
     )
     return dot / (norm(a_col) * norm(b_col))
-
 
 
 def _safe_normalize(m: np.ndarray) -> np.ndarray:
@@ -225,8 +225,6 @@ def embedding_neardup_pairs(
     (observable metric ``embedding_bucket_cap``) — the degenerate-bucket
     guard (e.g. the all-zeros vector every encoder failure emits). For an
     exact answer at small N use ``exact_neardup_pairs``."""
-    from opengin_ingestion_spark.operators.dedup import cap_key_frequency
-
     dim = len(corpus.select(vec_col).first()[0])
     planes = make_hyperplanes(dim, n_planes, seed)
     corpus = ensure_min_parallelism(corpus)
@@ -299,8 +297,6 @@ def lsh_ann_topk(
 
     Recall is tested against ``brute_force_topk`` in tests/test_similarity.py.
     """
-    from opengin_ingestion_spark.operators.dedup import cap_key_frequency
-
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
     planes = make_hyperplanes(dim, n_planes, seed)
@@ -423,8 +419,6 @@ def ivf_ann_topk(
     case). Cells above ``max_cell_size`` are dropped from the CANDIDATE
     side only (degenerate-cell guard, observable metric ``ivf_cell_cap``).
     """
-    from opengin_ingestion_spark.operators.dedup import cap_key_frequency
-
     centroids = train_centroids(
         corpus, id_col, vec_col, n_centroids, train_sample, seed=seed
     )

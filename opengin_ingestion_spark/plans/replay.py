@@ -110,6 +110,32 @@ def estimate_dir_bytes(log_dir: str) -> int:
     return total
 
 
+def load_or_create_pages_table(
+    spark: SparkSession, table_path: str, log_dir: str, n_buckets: int | None
+) -> GinTable:
+    """Load the pages table, or create it with the standard layout:
+    auto-sized buckets when ``n_buckets`` is None (from the log's on-disk
+    bytes; an empty/missing dir estimates 0 → the 16-bucket floor) and the
+    payload column family (html + extracted text) — a merge then rewrites a
+    touched bucket's light columns and APPENDS only the batch winners'
+    payloads; reads projecting html/text pay a _seq join (GinTable.read).
+    Safe under concurrent drivers (create-race falls back to load)."""
+    if GinTable.exists(table_path):
+        return GinTable.load(spark, table_path)
+    if n_buckets is None:
+        from opengin_ingestion_spark.sources.gintable import choose_n_buckets
+
+        est = estimate_dir_bytes(log_dir) if os.path.isdir(log_dir) else 0
+        n_buckets = choose_n_buckets(est)
+    try:
+        return GinTable.create(
+            spark, table_path, PAGES_SCHEMA, n_buckets=n_buckets,
+            heavy_columns=("html", "text"),
+        )
+    except FileExistsError:  # concurrent driver won the create race
+        return GinTable.load(spark, table_path)
+
+
 def replay_changelog(
     spark: SparkSession,
     log_dir: str,
@@ -130,25 +156,7 @@ def replay_changelog(
     within executor memory. Outgrown tables are fixed later with
     ``operators.compact.rebucket``.
     """
-    if GinTable.exists(table_path):
-        table = GinTable.load(spark, table_path)
-    else:
-        if n_buckets is None:
-            from opengin_ingestion_spark.sources.gintable import choose_n_buckets
-
-            n_buckets = choose_n_buckets(estimate_dir_bytes(log_dir))
-        # the payload columns (html + extracted text) live in their own
-        # column family: a merge rewrites a touched bucket's light columns
-        # and APPENDS only the batch winners' payloads — write
-        # amplification ∝ changed rows. Reads projecting html/text pay a
-        # _seq join instead (see GinTable.read).
-        try:
-            table = GinTable.create(
-                spark, table_path, PAGES_SCHEMA, n_buckets=n_buckets,
-                heavy_columns=("html", "text"),
-            )
-        except FileExistsError:  # concurrent driver won the create race
-            table = GinTable.load(spark, table_path)
+    table = load_or_create_pages_table(spark, table_path, log_dir, n_buckets)
 
     results: list[MergeResult] = []
     if group_files is None:

@@ -21,7 +21,6 @@ executor memory at scale.
 
 from __future__ import annotations
 
-import os
 from datetime import datetime, timedelta
 
 from pyspark.sql import DataFrame, SparkSession
@@ -29,11 +28,10 @@ from pyspark.sql.streaming import StreamingQuery
 
 from opengin_ingestion_spark.operators.merge import merge_batch
 from opengin_ingestion_spark.plans.replay import (
-    PAGES_SCHEMA,
     TRANSFORM_FIELDS,
+    load_or_create_pages_table,
     pages_pandas_transform,
 )
-from opengin_ingestion_spark.sources.gintable import GinTable
 from opengin_ingestion_spark.sources.reader import read_changelog_stream
 
 
@@ -66,22 +64,7 @@ def tail_changelog(
     conflict-checked commits — a crash between merge and maintenance loses
     only maintenance, never data.
     """
-    if GinTable.exists(table_path):
-        table = GinTable.load(spark, table_path)
-    else:
-        if n_buckets is None:
-            from opengin_ingestion_spark.plans.replay import estimate_dir_bytes
-            from opengin_ingestion_spark.sources.gintable import choose_n_buckets
-
-            est = estimate_dir_bytes(log_dir) if os.path.isdir(log_dir) else 0
-            n_buckets = choose_n_buckets(est)
-        try:
-            table = GinTable.create(
-                spark, table_path, PAGES_SCHEMA, n_buckets=n_buckets,
-                heavy_columns=("html", "text"),
-            )
-        except FileExistsError:  # concurrent driver won the create race
-            table = GinTable.load(spark, table_path)
+    table = load_or_create_pages_table(spark, table_path, log_dir, n_buckets)
 
     stream = read_changelog_stream(
         spark, log_dir, max_files_per_trigger=max_files_per_trigger

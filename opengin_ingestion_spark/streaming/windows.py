@@ -16,7 +16,7 @@ data; applyInPandasWithState for operators Spark lacks).
 
 from __future__ import annotations
 
-from typing import Any, Iterable
+from typing import Iterable
 
 import pandas as pd
 from pyspark.sql import DataFrame

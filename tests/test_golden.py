@@ -27,6 +27,7 @@ import pandas as pd
 import pytest
 
 import __spark_entry__ as entry_mod
+from tests.test_entry_contract import _normalize  # same normal form as the gate
 
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
 ORACLE_DIR = os.path.join(GOLDEN_DIR, "oracle")
@@ -36,22 +37,6 @@ TABLES = [
     "lineitem", "events", "documents", "embeddings",
 ]
 UPDATE = os.environ.get("UPDATE_GOLDEN_DATA") == "1"
-
-
-def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Deterministic frame shape: sorted columns, stringified objects,
-    tz-naive UTC timestamps, rows sorted by all columns."""
-    pdf = pdf.copy()
-    pdf = pdf[sorted(pdf.columns)]
-    for c in pdf.columns:
-        if pd.api.types.is_datetime64_any_dtype(pdf[c]):
-            s = pd.to_datetime(pdf[c])
-            if getattr(s.dt, "tz", None) is not None:
-                s = s.dt.tz_convert("UTC").dt.tz_localize(None)
-            pdf[c] = s
-        elif pdf[c].dtype == object:
-            pdf[c] = pdf[c].astype(str)
-    return pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
 
 
 def _check_or_record(got: pd.DataFrame, path: str, name: str) -> None:
