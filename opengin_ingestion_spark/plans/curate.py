@@ -1,0 +1,106 @@
+"""Training-data curation pipeline: the document-side counterpart of the
+CDC replay — what a 100 TB corpus goes through before tokenization.
+
+    documents ──► quality filter (JVM expressions, pushed to the scan)
+              ──► exact dedup (hash-agg on md5(text))
+              ──► near-dup pairs (MinHash-LSH, banded, bucket-capped)
+              ──► transitive groups (connected components)
+              ──► exemplar selection (one survivor per group)
+              ──► curated corpus + per-stage decision report
+
+Every stage is an existing engine operator; this module only composes them
+and accounts for every dropped document (a curation pipeline that cannot
+explain WHY a document vanished is undebuggable at scale — the report is
+the dead-letter analog for dedup).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from opengin_ingestion_spark.functions.textstats import quality_score, token_count
+from opengin_ingestion_spark.operators.dedup import (
+    dedup_groups,
+    exact_dedup,
+    minhash_lsh_pairs,
+)
+
+
+@dataclass(frozen=True)
+class CurateConfig:
+    min_quality: float = 0.2
+    min_tokens: int = 5
+    near_dup_threshold: float = 0.7
+    minhash_bands: int = 8
+    minhash_hashes: int = 32
+
+
+def curate_documents(
+    docs: DataFrame,
+    config: CurateConfig = CurateConfig(),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Returns ``(kept, decisions)``.
+
+    ``kept``: the curated corpus (original columns).
+    ``decisions``: one row per INPUT document — (id, decision, detail);
+    decision ∈ kept | low_quality | too_short | exact_dup | near_dup.
+    Decisions are computed from small id-only frames (quality flags ride
+    the main scan; dedup losers are key-only join sides), so the report
+    costs no extra pass over the corpus text.
+    """
+    scored = docs.withColumn("_q", quality_score(text_col)).withColumn(
+        "_tok", token_count(text_col)
+    )
+    too_short = F.col("_tok") < config.min_tokens
+    low_q = F.col("_q") < config.min_quality
+    quality_ok = scored.filter(~too_short & ~low_q)
+
+    # exact dedup on the text digest: smallest id survives
+    exact_keep = exact_dedup(
+        quality_ok.select(id_col, F.md5(text_col).alias("_fp")), ["_fp"], id_col
+    ).select(id_col)
+    exact_survivors = quality_ok.join(exact_keep, id_col, "left_semi")
+
+    # near-dup: LSH pairs → transitive groups → exemplar = smallest id
+    pairs = minhash_lsh_pairs(
+        exact_survivors,
+        text_col=text_col,
+        id_col=id_col,
+        n_hashes=config.minhash_hashes,
+        bands=config.minhash_bands,
+        threshold=config.near_dup_threshold,
+    )
+    groups = dedup_groups(pairs)
+    near_losers = groups.filter(F.col("node") != F.col("group")).select(
+        F.col("node").alias(id_col), F.col("group").alias("_kept_as")
+    )
+    kept = exact_survivors.join(near_losers.select(id_col), id_col, "left_anti")
+
+    # ---- decision report (id-only frames, no second text scan) ----------
+    def ids(df, decision, detail=F.lit(None).cast("string")):
+        return df.select(
+            F.col(id_col), F.lit(decision).alias("decision"), detail.alias("detail")
+        )
+
+    d_short = ids(scored.filter(too_short), "too_short", F.col("_tok").cast("string"))
+    d_lowq = ids(
+        scored.filter(~too_short & low_q), "low_quality",
+        F.round("_q", 4).cast("string"),
+    )
+    d_exact = ids(
+        quality_ok.join(exact_keep, id_col, "left_anti"), "exact_dup"
+    )
+    d_near = near_losers.select(
+        F.col(id_col), F.lit("near_dup").alias("decision"),
+        F.col("_kept_as").cast("string").alias("detail"),
+    )
+    d_kept = ids(kept, "kept")
+    decisions = d_kept.unionByName(d_short).unionByName(d_lowq).unionByName(
+        d_exact
+    ).unionByName(d_near)
+    return kept.drop("_q", "_tok"), decisions

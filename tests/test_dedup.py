@@ -178,3 +178,30 @@ def test_shingle_df_cap_drops_stop_shingles(spark):
     assert all(not (a < 20 and b < 20) for a, b in got), (
         "pairs supported only by the capped stop-shingles must vanish"
     )
+
+
+def test_curate_documents_pipeline(spark):
+    """End-to-end curation: every input doc gets exactly one decision;
+    kept ∪ dropped partitions the input; near-dup exemplar is the group
+    min; exact dups collapse before LSH."""
+    from opengin_ingestion_spark.plans.curate import CurateConfig, curate_documents
+
+    rows = [(0, BASE), (1, BASE.replace("quick", "fast")), (2, BASE)]  # near+exact
+    rows += [(3, "x")]  # too short
+    rows += [(4, "!!x.. ?,y;; :!z,, ..!! ;;??")]  # short punct soup, no stopwords
+    # i-specific token every other word → every trigram unique per doc
+    rows += [(10 + i, f"the {i}-alpha and {i}-beta of {i}-gamma is {i}-delta "
+                      f"for {i}-epsilon to {i}-zeta it {i}-eta that {i}-theta")
+             for i in range(10)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    kept, decisions = curate_documents(
+        docs, CurateConfig(min_quality=0.2, min_tokens=3, near_dup_threshold=0.5)
+    )
+    dec = {r["doc_id"]: r["decision"] for r in decisions.collect()}
+    assert len(dec) == docs.count(), "one decision per input"
+    assert dec[3] == "too_short" and dec[4] == "low_quality"
+    assert dec[2] == "exact_dup"  # 2 duplicates 0 exactly; 0 survives
+    assert dec[0] == "kept" and dec[1] == "near_dup"
+    kept_ids = {r["doc_id"] for r in kept.collect()}
+    assert kept_ids == {k for k, v in dec.items() if v == "kept"}
+    assert all(10 + i in kept_ids for i in range(10))
