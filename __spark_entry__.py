@@ -344,8 +344,12 @@ def q_doc_name_sanitize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from opengin_ingestion_spark.functions.json_parse import sanitize_name
 
     docs = _t(spark, sf_dir, "documents")
+    # coalesce: concat_ws skips NULLs while DuckDB's || propagates them —
+    # pin identical null semantics on both engines
     raw = F.concat_ws(
-        " ", F.col("source"), F.lit("Doc #"), F.col("doc_id"), F.lit("(v2)")
+        " ",
+        F.coalesce(F.col("source"), F.lit("")),
+        F.lit("Doc #"), F.col("doc_id"), F.lit("(v2)"),
     )
     return docs.select("doc_id", sanitize_name(raw).alias("fname"))
 
@@ -357,10 +361,12 @@ def q_media_mime_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from opengin_ingestion_spark.operators.multimodal import media_metadata
 
     docs = _t(spark, sf_dir, "documents")
+    # every payload gets a known magic prefix, so parity never depends on
+    # whether a document's own text happens to start with magic bytes
     payload = (
-        F.when(F.col("n_chars") % 4 == 0, F.concat(F.lit(b"\x89PNG"), F.encode("text", "utf-8")))
-        .when(F.col("n_chars") % 4 == 1, F.concat(F.lit(b"RIFF"), F.encode("text", "utf-8")))
-        .otherwise(F.encode("text", "utf-8"))
+        F.when(F.col("n_chars") % 3 == 0, F.concat(F.lit(b"\x89PNG"), F.encode("text", "utf-8")))
+        .when(F.col("n_chars") % 3 == 1, F.concat(F.lit(b"RIFF"), F.encode("text", "utf-8")))
+        .otherwise(F.concat(F.lit(b"OggS"), F.encode("text", "utf-8")))
     )
     media = docs.select(
         F.col("doc_id").alias("media_id"),
@@ -841,7 +847,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    regexp_replace(
                        regexp_replace(
-                           lower(trim(source || ' Doc # ' || doc_id || ' (v2)')),
+                           lower(trim(coalesce(source, '') || ' Doc # '
+                                      || doc_id || ' (v2)')),
                            '\s+', '_', 'g'),
                        '[^a-z0-9_-]', '', 'g') AS fname
             FROM documents
@@ -850,12 +857,10 @@ def oracle_sql() -> dict[str, str]:
         # BLOB is bytes in DuckDB, octet_length of utf-8 text + magic bytes
         "media_mime_stats": """
             WITH m AS (
-                SELECT CASE WHEN n_chars % 4 = 0 THEN 'image/png'
-                            WHEN n_chars % 4 = 1 THEN 'audio/wav'
-                            ELSE 'application/octet-stream' END AS mime,
-                       octet_length(CAST(text AS BLOB))
-                         + CASE WHEN n_chars % 4 IN (0, 1) THEN 4 ELSE 0 END
-                           AS nbytes
+                SELECT CASE WHEN n_chars % 3 = 0 THEN 'image/png'
+                            WHEN n_chars % 3 = 1 THEN 'audio/wav'
+                            ELSE 'audio/ogg' END AS mime,
+                       octet_length(CAST(text AS BLOB)) + 4 AS nbytes
                 FROM documents
             )
             SELECT mime, count(*) AS n, CAST(sum(nbytes) AS BIGINT) AS sum_bytes

@@ -41,21 +41,18 @@ def main() -> None:
             near_dup_threshold=args.near_dup_threshold,
         ),
     )
+    from pyspark.sql import functions as F
+
     kept.write.mode("overwrite").parquet(f"{args.out}/docs")
     decisions.write.mode("overwrite").parquet(f"{args.out}/decisions")
     counts = {
         r["decision"]: r["n"]
         for r in spark.read.parquet(f"{args.out}/decisions")
-        .groupBy("decision").agg(F_count())
+        .groupBy("decision").agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
-    print("CURATE_DONE " + json.dumps({"in": docs.count(), "decisions": counts}))
-
-
-def F_count():
-    from pyspark.sql import functions as F
-
-    return F.count(F.lit(1)).alias("n")
+    # sum of decisions == input size by the one-decision-per-doc contract
+    print("CURATE_DONE " + json.dumps({"in": sum(counts.values()), "decisions": counts}))
 
 
 if __name__ == "__main__":

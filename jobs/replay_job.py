@@ -66,6 +66,11 @@ def main() -> None:
         )
         q.awaitTermination()
     else:
+        if args.maintenance_every is not None:
+            raise SystemExit(
+                "--maintenance-every is a streaming-tail option; batch mode "
+                "runs maintenance explicitly via the CLI (compact / gc)"
+            )
         from opengin_ingestion_spark.plans.replay import replay_changelog
 
         replay_changelog(spark, args.log_dir, args.table, n_buckets=args.buckets)

@@ -48,17 +48,24 @@ def curate_documents(
 
     ``kept``: the curated corpus (original columns).
     ``decisions``: one row per INPUT document — (id, decision, detail);
-    decision ∈ kept | low_quality | too_short | exact_dup | near_dup.
-    Decisions are computed from small id-only frames (quality flags ride
-    the main scan; dedup losers are key-only join sides), so the report
-    costs no extra pass over the corpus text.
+    decision ∈ kept | null_text | too_short | low_quality | exact_dup |
+    near_dup. The quality flags are computed in ONE scan and checkpointed
+    as a slim (id, flags) frame; every decision branch and filter derives
+    from it by key, so the expressions never re-evaluate per branch and
+    the report costs no extra pass over the corpus text.
     """
-    scored = docs.withColumn("_q", quality_score(text_col)).withColumn(
-        "_tok", token_count(text_col)
-    )
-    too_short = F.col("_tok") < config.min_tokens
-    low_q = F.col("_q") < config.min_quality
-    quality_ok = scored.filter(~too_short & ~low_q)
+    # one scoring scan → slim checkpointed flags (ids + two numbers)
+    flags = docs.select(
+        F.col(id_col),
+        quality_score(text_col).alias("_q"),
+        token_count(text_col).alias("_tok"),
+        F.col(text_col).isNull().alias("_null"),
+    ).localCheckpoint(eager=True)
+    null_text = F.col("_null")
+    too_short = ~null_text & (F.col("_tok") < config.min_tokens)
+    low_q = ~null_text & ~too_short & (F.col("_q") < config.min_quality)
+    ok_ids = flags.filter(~null_text & ~too_short & ~low_q).select(id_col)
+    quality_ok = docs.join(ok_ids, id_col, "left_semi")
 
     # exact dedup on the text digest: smallest id survives
     exact_keep = exact_dedup(
@@ -87,20 +94,17 @@ def curate_documents(
             F.col(id_col), F.lit(decision).alias("decision"), detail.alias("detail")
         )
 
-    d_short = ids(scored.filter(too_short), "too_short", F.col("_tok").cast("string"))
-    d_lowq = ids(
-        scored.filter(~too_short & low_q), "low_quality",
-        F.round("_q", 4).cast("string"),
-    )
-    d_exact = ids(
-        quality_ok.join(exact_keep, id_col, "left_anti"), "exact_dup"
-    )
+    d_null = ids(flags.filter(null_text), "null_text")
+    d_short = ids(flags.filter(too_short), "too_short", F.col("_tok").cast("string"))
+    d_lowq = ids(flags.filter(low_q), "low_quality", F.round("_q", 4).cast("string"))
+    d_exact = ids(ok_ids.join(exact_keep, id_col, "left_anti"), "exact_dup")
     d_near = near_losers.select(
         F.col(id_col), F.lit("near_dup").alias("decision"),
         F.col("_kept_as").cast("string").alias("detail"),
     )
     d_kept = ids(kept, "kept")
-    decisions = d_kept.unionByName(d_short).unionByName(d_lowq).unionByName(
-        d_exact
-    ).unionByName(d_near)
-    return kept.drop("_q", "_tok"), decisions
+    decisions = (
+        d_kept.unionByName(d_null).unionByName(d_short).unionByName(d_lowq)
+        .unionByName(d_exact).unionByName(d_near)
+    )
+    return kept, decisions

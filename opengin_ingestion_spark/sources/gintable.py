@@ -581,6 +581,17 @@ def table_changes(
     """
     snap_to = table.snapshot(to_version) if to_version is not None else table.current_snapshot()
     snap_from = table.snapshot(from_version)
+    # a tombstone expiry inside the range ERASES delete evidence: a consumer
+    # synced before it would silently resurrect deleted rows. Refuse — the
+    # consumer must re-sync from a full snapshot (same contract as Iceberg
+    # changelog scans across expired snapshots).
+    for v in range(snap_from["version"] + 1, snap_to["version"] + 1):
+        if table.snapshot(v).get("metrics", {}).get("op") == "expire_tombstones":
+            raise ValueError(
+                f"version range ({from_version}, {snap_to['version']}] crosses a "
+                f"tombstone expiry at v{v}; delete events before it are no "
+                "longer representable — re-sync from a full snapshot"
+            )
 
     def base_files(snap):
         return {

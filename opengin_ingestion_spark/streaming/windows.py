@@ -24,14 +24,18 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-SESSION_SCHEMA = T.StructType(
-    [
-        T.StructField("url", T.StringType()),
-        T.StructField("session_start", T.TimestampType()),
-        T.StructField("session_end", T.TimestampType()),
-        T.StructField("n_events", T.LongType()),
-    ]
-)
+def session_schema(key_col: str = "url", key_type: T.DataType | None = None) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField(key_col, key_type or T.StringType()),
+            T.StructField("session_start", T.TimestampType()),
+            T.StructField("session_end", T.TimestampType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+
+
+SESSION_SCHEMA = session_schema()
 
 _STATE_SCHEMA = T.StructType(
     [
@@ -129,6 +133,7 @@ def sessionize(
     """
     gap_ns = gap_seconds * 1_000_000_000
     gap_ms = gap_seconds * 1000
+    out_schema = session_schema(key_col, stream_df.schema[key_col].dataType)
 
     def update(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
@@ -143,10 +148,13 @@ def sessionize(
             sessions = _merge_sessions(
                 sessions + [(int(t), int(t), 1) for t in new_ts], gap_ns
             )
-        # emit every session the watermark has sealed (end + gap passed)
-        wm_ms = state.getCurrentWatermarkMs()
-        ripe = [x for x in sessions if x[1] // 1_000_000 + gap_ms <= wm_ms]
-        keep = [x for x in sessions if x[1] // 1_000_000 + gap_ms > wm_ms]
+        # emit only sessions the watermark has STRICTLY sealed: Spark
+        # admits events with ts >= watermark, so a bridging event at
+        # exactly end+gap is still possible until wm_ns > end+gap (and the
+        # ms floor must round AGAINST sealing, never toward it)
+        wm_ns = state.getCurrentWatermarkMs() * 1_000_000
+        ripe = [x for x in sessions if x[1] + gap_ns < wm_ns]
+        keep = [x for x in sessions if x[1] + gap_ns >= wm_ns]
         if keep:
             state.update((
                 [s for s, _, _ in keep],
@@ -156,14 +164,17 @@ def sessionize(
             # wake when the earliest remaining session matures (must be
             # strictly beyond the current watermark)
             state.setTimeoutTimestamp(
-                max(min(e // 1_000_000 for _, e, _ in keep) + gap_ms, wm_ms + 1)
+                max(
+                    min(e // 1_000_000 for _, e, _ in keep) + gap_ms + 1,
+                    wm_ns // 1_000_000 + 1,
+                )
             )
         else:
             state.remove()
         if ripe:
             yield pd.DataFrame(
                 {
-                    "url": [key[0]] * len(ripe),
+                    key_col: [key[0]] * len(ripe),
                     "session_start": [pd.Timestamp(s, unit="ns") for s, _, _ in ripe],
                     "session_end": [pd.Timestamp(e, unit="ns") for _, e, _ in ripe],
                     "n_events": [n for _, _, n in ripe],
@@ -175,7 +186,7 @@ def sessionize(
         .groupBy(key_col)
         .applyInPandasWithState(
             update,
-            outputStructType=SESSION_SCHEMA,
+            outputStructType=out_schema,
             stateStructType=_STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,

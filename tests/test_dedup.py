@@ -189,6 +189,7 @@ def test_curate_documents_pipeline(spark):
     rows = [(0, BASE), (1, BASE.replace("quick", "fast")), (2, BASE)]  # near+exact
     rows += [(3, "x")]  # too short
     rows += [(4, "!!x.. ?,y;; :!z,, ..!! ;;??")]  # short punct soup, no stopwords
+    rows += [(5, None)]  # null text must be accounted, not vanish
     # i-specific token every other word → every trigram unique per doc
     rows += [(10 + i, f"the {i}-alpha and {i}-beta of {i}-gamma is {i}-delta "
                       f"for {i}-epsilon to {i}-zeta it {i}-eta that {i}-theta")
@@ -200,6 +201,7 @@ def test_curate_documents_pipeline(spark):
     dec = {r["doc_id"]: r["decision"] for r in decisions.collect()}
     assert len(dec) == docs.count(), "one decision per input"
     assert dec[3] == "too_short" and dec[4] == "low_quality"
+    assert dec[5] == "null_text"
     assert dec[2] == "exact_dup"  # 2 duplicates 0 exactly; 0 survives
     assert dec[0] == "kept" and dec[1] == "near_dup"
     kept_ids = {r["doc_id"] for r in kept.collect()}

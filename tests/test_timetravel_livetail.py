@@ -125,3 +125,30 @@ def test_table_changes_incremental_read(spark, tiny_log, tmp_path):
     n_tomb = d_all.filter(F.col("_change_type") == "delete").count()
     internal = full.toPandas()
     assert n_tomb == int(internal["_deleted"].fillna(False).sum())
+
+
+def test_table_changes_refuses_range_across_tombstone_expiry(spark, tmp_path):
+    """A tombstone expiry erases delete evidence — an incremental consumer
+    synced before it must get an error, not silent resurrection."""
+    import pytest
+
+    from opengin_ingestion_spark.operators.merge import expire_tombstones
+    from opengin_ingestion_spark.sources.gintable import table_changes
+
+    d = str(tmp_path / "log")
+    spec = ChangeLogSpec(
+        n_events=1_000, n_urls=100, n_batches=2, seed=4, p_delete=0.2,
+        jitter_us=1_000_000,
+    )
+    generate_changelog(d, spec)
+    table, results = replay_changelog(
+        spark, d, str(tmp_path / "pages"), n_buckets=4, group_files=1
+    )
+    v_synced = results[0].version
+    import datetime
+
+    expire_tombstones(table, datetime.datetime(2030, 1, 1))
+    with pytest.raises(ValueError, match="tombstone expiry"):
+        table_changes(table, v_synced)
+    # ranges starting AT or AFTER the expiry commit still work
+    assert table_changes(table, table.current_version()).count() == 0
