@@ -3,12 +3,14 @@
 ``queries()`` exposes every operator family of the engine
 (SURVEY.md §2) over the driver's read-only testdata tables; each entry with
 an ``oracle_sql()`` twin is exact-matched against DuckDB (row count +
-schema + order-insensitive value hash): 33 of 37 queries. The remaining 4
-(minhash/simhash near-dup, LSH-ANN top-k, the full CDC replay) are
-genuinely non-SQL-expressible — Spark-internal murmur3/FNV signatures,
-probe-dependent candidate sets, stateful table replay — and run rows-only
-here while their exact semantics are verified by the local pytest suite
-(recall vs exact Jaccard / brute force; replay vs a pandas oracle).
+schema + order-insensitive value hash): 35 of 37 queries — since round 3
+that includes the flagship ``cdc_replay_pages`` (the oracle replays the
+same change-log parquet through a DuckDB window query + the regex
+extraction chain) and ``lsh_ann_topk`` (seeded hyperplanes injected as a
+literal table). The remaining 2 (minhash/simhash near-dup) are genuinely
+non-SQL-expressible — their signatures are Spark-internal murmur3/xxhash64
+— and run rows-only here while their recall is verified by the local
+pytest suite against the oracled exact-Jaccard operator.
 
 Determinism rules used throughout (so value hashes match):
  * double aggregations go through DECIMAL(18,2/4) (exact), final CAST to
@@ -457,10 +459,70 @@ def q_ngram_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-k. DuckDB-oracled since round 3: the
+    hyperplanes are a deterministic seeded matrix, injected into the oracle
+    as a literal table (_lsh_ann_oracle_sql)."""
     from opengin_ingestion_spark.operators.similarity import lsh_ann_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     return lsh_ann_topk(emb, k=5, n_planes=8).withColumnRenamed("rank", "rnk")
+
+
+def _lsh_ann_oracle_sql() -> str:
+    """DuckDB twin of lsh_ann_topk(k=5, n_planes=8, seed=42): the seeded
+    hyperplanes as a literal table; sign-bit bucketing (smallest |dot| on
+    the sf0.01 vectors is 3.3e-4, ~9 decades above float-summation noise,
+    so the sign bits are engine-independent); candidate-side bucket cap
+    (HAVING count <= 5000, the cap_key_frequency mirror); home-bucket +
+    8 one-bit-flip probes; exact-cosine re-rank, ties by neighbor id.
+    dim is pinned to 64 = the embedding width at every test SF."""
+    from opengin_ingestion_spark.operators.similarity import make_hyperplanes
+
+    planes = make_hyperplanes(64, 8, 42)
+    plane_lits = ",\n              ".join(
+        "({}, [{}]::DOUBLE[])".format(
+            p, ", ".join(repr(float(x)) for x in planes[p])
+        )
+        for p in range(planes.shape[0])
+    )
+    return f"""
+        WITH planes(p, v) AS (VALUES
+              {plane_lits}
+        ), b AS (
+            SELECT e.vec_id,
+                   CAST(sum(CASE WHEN list_dot_product(
+                                     CAST(e.embedding AS DOUBLE[]), pl.v) > 0
+                                 THEN (CAST(1 AS BIGINT) << pl.p)
+                                 ELSE 0 END) AS BIGINT) AS b
+            FROM embeddings e, planes pl
+            GROUP BY e.vec_id
+        ), ok_buckets AS (
+            SELECT b FROM b GROUP BY b HAVING count(*) <= 5000
+        ), cand AS (
+            SELECT vec_id AS c_id, b FROM b
+            WHERE b IN (SELECT b FROM ok_buckets)
+        ), probes AS (
+            SELECT vec_id AS q_id, b AS pb FROM b
+            UNION
+            SELECT vec_id, xor(b, (CAST(1 AS BIGINT) << pl.p))
+            FROM b, planes pl
+        ), pairs AS (
+            SELECT DISTINCT p.q_id, c.c_id
+            FROM probes p JOIN cand c ON p.pb = c.b
+            WHERE p.q_id <> c.c_id
+        ), scored AS (
+            SELECT pr.q_id, pr.c_id,
+                   list_cosine_similarity(qa.embedding, ca.embedding) AS cos
+            FROM pairs pr
+            JOIN embeddings qa ON qa.vec_id = pr.q_id
+            JOIN embeddings ca ON ca.vec_id = pr.c_id
+        )
+        SELECT q_id AS vec_id, c_id AS neighbor_id, rnk
+        FROM (SELECT q_id, c_id, row_number() OVER (
+                  PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rnk
+              FROM scored)
+        WHERE rnk <= 5
+    """
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -555,26 +617,24 @@ def q_parse_responses(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_cdc_replay_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """THE engine end-to-end: deterministic synthetic change log →
-    streaming-equivalent batch replay → final `pages` GinTable. Rows-only
-    check here; full row-for-row oracle equivalence is covered by
-    `python -m pytest -x -q` (tests/test_replay.py)."""
-    from opengin_ingestion_spark.plans.replay import replay_changelog
+def _replay_fixture_paths() -> tuple[str, str]:
+    """(log_dir, table_path) of the deterministic replay fixture.
+
+    Generates the change log if absent — pure pyarrow/numpy, no Spark, so
+    BOTH the Spark query and ``oracle_sql()`` (whose SQL reads the log
+    parquet directly) can call this in either order. Deterministic cache:
+    the log/table are pure functions of the spec, keyed by the spec hash
+    (stale-proof) and populated via write-to-temp + atomic rename
+    (race-proof against concurrent drivers)."""
     from opengin_ingestion_spark.sources.changelog import (
         ChangeLogSpec,
         generate_changelog,
     )
-    from opengin_ingestion_spark.sources.gintable import GinTable
 
-    # deterministic cache: the log/table are pure functions of the spec, so
-    # repeated driver invocations reuse the committed table. The cache dir is
-    # keyed by the spec hash (stale-proof) and populated via write-to-temp +
-    # atomic rename (race-proof against concurrent drivers).
     spec = ChangeLogSpec(n_events=5_000, n_urls=500, n_batches=5, seed=42)
     # ENGINE_REV salts the cache key: bump whenever replay/extract/table
     # semantics change, or a stale cached table silently serves old results
-    ENGINE_REV = "r2-colfam"
+    ENGINE_REV = "r3-heavyuniq"
     spec_key = hashlib.sha256(f"{ENGINE_REV}|{spec!r}".encode()).hexdigest()[:16]
     base = f"/tmp/opengin_entry_cache_{spec_key}"
     log = os.path.join(base, "log")
@@ -587,10 +647,97 @@ def q_cdc_replay_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.rename(tmp, log)
         except OSError:  # another driver won the race — use its copy
             shutil.rmtree(tmp, ignore_errors=True)
+    return log, table_path
+
+
+def q_cdc_replay_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE engine end-to-end: deterministic synthetic change log →
+    streaming-equivalent batch replay → final `pages` GinTable (LWW +
+    tombstones + vectorized HTML→text extraction + lang detection +
+    column-family read). DuckDB-oracled since round 3: the oracle reads the
+    same change-log parquet and reproduces the LWW/tombstone reduction as a
+    window query and the deterministic extraction chain
+    (functions/extract.py) with DuckDB's independent RE2 regex engine."""
+    from opengin_ingestion_spark.plans.replay import replay_changelog
+
+    log, table_path = _replay_fixture_paths()
     # idempotent: merge_batch early-exits (no Spark jobs) once batch 0 is
     # in the table's applied ranges, so repeated calls are cheap
     table, _ = replay_changelog(spark, log, table_path, n_buckets=16)
     return table.read().select("url", "warc_ts", "text", "lang")
+
+
+def _replay_oracle_sql() -> str:
+    """DuckDB twin of the full CDC replay (see q_cdc_replay_pages).
+
+    Mirrors, step for step:
+      * LWW winner per url by (warc_ts, seq) desc — merge.py's
+        sort+drop_duplicates(keep='last'),
+      * tombstone hiding (winner op 'D' ⇒ row invisible to reads),
+      * the extraction chain of extract.py:extract_text_series — the
+        script/style regex (pandas uses one backreference pattern; the
+        oracle's alternation is equivalent for non-overlapping blocks,
+        which tags always are), comment strip, block-tag→newline,
+        any-tag→space, the 6-entry entity table IN ORDER (nbsp before amp
+        so '&amp;nbsp;' decodes once), whitespace collapse + trim,
+      * detect_lang_series: marker-word counts per language, argmax with
+        ties broken in dict order (en, de, fr, es), 0 hits ⇒ 'und'.
+    """
+    log, _ = _replay_fixture_paths()
+    block_tags = (
+        "p|div|br|li|ul|ol|h[1-6]|tr|td|th|table|section|article"
+        "|header|footer|nav|blockquote|pre|title|body|html|head"
+    )
+    return f"""
+        WITH raw AS (
+            SELECT * FROM read_parquet('{log}/batch_*.parquet')
+        ), w AS (
+            SELECT url, warc_ts, op, html,
+                   row_number() OVER (
+                       PARTITION BY url ORDER BY warc_ts DESC, seq DESC
+                   ) AS rn
+            FROM raw
+        ), live AS (
+            SELECT url, warc_ts, decode(html) AS h
+            FROM w WHERE rn = 1 AND op <> 'D'
+        ), extracted AS (
+            SELECT url, warc_ts,
+              trim(regexp_replace(
+                replace(replace(replace(replace(replace(replace(
+                  regexp_replace(
+                    regexp_replace(
+                      regexp_replace(
+                        regexp_replace(h,
+                          '(?is)(<script\\b[^>]*>.*?</script>|<style\\b[^>]*>.*?</style>)',
+                          ' ', 'g'),
+                        '(?s)<!--.*?-->', ' ', 'g'),
+                      '(?i)</?({block_tags})\\b[^>]*>', chr(10), 'g'),
+                    '(?s)<[^>]*>', ' ', 'g'),
+                  '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+                  '&quot;', '"'), '&#39;', chr(39)),
+                '\\s+', ' ', 'g')) AS text
+            FROM live
+        ), scored AS (
+            SELECT url, warc_ts, text,
+              len(regexp_extract_all(lower(text),
+                  '\\b(the|and|of|to|is|in|that|it|with)\\b')) AS s_en,
+              len(regexp_extract_all(lower(text),
+                  '\\b(der|die|das|und|ist|nicht|ein|mit|von)\\b')) AS s_de,
+              len(regexp_extract_all(lower(text),
+                  '\\b(le|la|les|et|est|une|dans|pour|que)\\b')) AS s_fr,
+              len(regexp_extract_all(lower(text),
+                  '\\b(el|los|las|es|una|para|con|por|del)\\b')) AS s_es
+            FROM extracted
+        )
+        SELECT url, warc_ts, text,
+          CASE WHEN text IS NULL THEN NULL
+               WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+               WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+               WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+               WHEN s_fr >= s_es THEN 'fr'
+               ELSE 'es' END AS lang
+        FROM scored
+    """
 
 
 # ---------------------------------------------------------------------------
@@ -637,13 +784,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "fragment_aggregation": q_fragment_aggregation,
         "parse_responses": q_parse_responses,
-        # rows-only (genuinely non-SQL-expressible: Spark murmur3 / FNV
-        # signatures, probe-dependent LSH candidate sets, the stateful
-        # engine replay — each covered by exact local tests instead)
+        "cdc_replay_pages": q_cdc_replay_pages,
+        "lsh_ann_topk": q_lsh_ann_topk,
+        # rows-only (genuinely non-SQL-expressible: the signatures are
+        # Spark-internal murmur3 / xxhash64 — each covered by exact local
+        # recall tests against the oracled exact operators instead)
         "minhash_neardup": q_minhash_neardup,
         "simhash_neardup": q_simhash_neardup,
-        "lsh_ann_topk": q_lsh_ann_topk,
-        "cdc_replay_pages": q_cdc_replay_pages,
     }
 
 
@@ -1007,4 +1154,6 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN text IS NULL THEN NULL ELSE 16 END AS feature_dim
             FROM documents
         """,
+        "cdc_replay_pages": _replay_oracle_sql(),
+        "lsh_ann_topk": _lsh_ann_oracle_sql(),
     }
