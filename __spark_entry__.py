@@ -382,6 +382,41 @@ def q_media_mime_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curate_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation pipeline (plans/curate.py) end-to-end with a
+    SQL-expressible near-dup stage: quality filter → exact dedup →
+    n-gram-Jaccard pairs → connected components → exemplars, reported as
+    one decision per input document. The near-dup stage is swapped from
+    MinHash-LSH (Spark-internal hashes, not oracle-able) to the exact
+    Jaccard operator whose DuckDB twin is already proven (q_ngram_jaccard),
+    so every branch of the report is independently verified."""
+    from opengin_ingestion_spark.operators.dedup import ngram_jaccard_pairs
+    from opengin_ingestion_spark.plans.curate import CurateConfig, curate_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    # deterministically poison a few docs so EVERY decision branch fires in
+    # the driver gate (the raw corpus has no nulls/shorts/exact dups):
+    # %101 → null_text, %103 → too_short, %107 → low_quality (punct-heavy),
+    # %109 → one shared text ⇒ min id kept, rest exact_dup
+    did = F.col("doc_id")
+    docs = docs.withColumn(
+        "text",
+        F.when(did % 101 == 0, F.lit(None).cast("string"))
+        .when(did % 103 == 0, F.lit("tiny doc"))
+        .when(did % 107 == 0, F.lit("zzz! zzz! zzz! zzz! zzz! zzz!"))
+        .when(did % 109 == 0, F.lit("the and of to is in that it with"))
+        .otherwise(F.col("text")),
+    )
+    _, decisions = curate_documents(
+        docs,
+        CurateConfig(min_quality=0.2, min_tokens=5),
+        pairs_fn=lambda df: ngram_jaccard_pairs(df, threshold=0.3),
+    )
+    # detail carries engine-formatted floats for low_quality rows; the
+    # driver-checked projection is the (id → decision) assignment itself
+    return decisions.select("doc_id", "decision")
+
+
 def q_docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from opengin_ingestion_spark.operators.dedup import exact_dedup
 
@@ -770,6 +805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "status_pivot": q_status_pivot,
         "union_high_value_parties": q_union_high_value_parties,
         "doc_stats": q_doc_stats,
+        "curate_decisions": q_curate_decisions,
         "doc_tokens": q_doc_tokens,
         "doc_quality": q_doc_quality,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1156,4 +1192,84 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cdc_replay_pages": _replay_oracle_sql(),
         "lsh_ann_topk": _lsh_ann_oracle_sql(),
+        # the curation pipeline end-to-end: the early branches reuse the
+        # proven doc_quality expressions, exact dedup groups on md5(text),
+        # the near-dup stage is the proven ngram_jaccard predicate + the
+        # recursive-CTE transitive closure (same as ngram_dedup_groups),
+        # all restricted to exact-dedup survivors as the pipeline does
+        "curate_decisions": f"""
+            WITH RECURSIVE poisoned AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 101 = 0 THEN NULL
+                            WHEN doc_id % 103 = 0 THEN 'tiny doc'
+                            WHEN doc_id % 107 = 0
+                                 THEN 'zzz! zzz! zzz! zzz! zzz! zzz!'
+                            WHEN doc_id % 109 = 0
+                                 THEN 'the and of to is in that it with'
+                            ELSE text END AS text
+                FROM documents
+            ), flags AS (
+                SELECT doc_id, text,
+                       len(string_split(text, ' ')) AS _tok,
+                       least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+                         + (CAST(len(regexp_extract_all(lower(text), '{stop_sql}')) AS DOUBLE)
+                            / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.4
+                         + greatest(0.0, 0.2
+                            - (CAST(len(regexp_extract_all(text, '{punct_sql}')) AS DOUBLE)
+                               / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.2)
+                         AS _q
+                FROM poisoned
+            ), pre AS (
+                SELECT doc_id, text,
+                       CASE WHEN text IS NULL THEN 'null_text'
+                            WHEN _tok < 5 THEN 'too_short'
+                            WHEN _q < 0.2 THEN 'low_quality'
+                            ELSE NULL END AS early
+                FROM flags
+            ), ok AS (
+                SELECT doc_id, text FROM pre WHERE early IS NULL
+            ), exact_keep AS (
+                SELECT min(doc_id) AS doc_id FROM ok GROUP BY md5(text)
+            ), surv AS (
+                SELECT doc_id, text FROM ok
+                WHERE doc_id IN (SELECT doc_id FROM exact_keep)
+            ), words AS (
+                SELECT doc_id, string_split(text, ' ') AS w FROM surv
+            ), sh AS (
+                SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+                FROM words,
+                     unnest(generate_series(1, greatest(len(w)-2, 1))) AS t(i)
+            ), sizes AS (
+                SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+                FROM sh a JOIN sh b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), pairs AS (
+                SELECT id_a, id_b FROM inter
+                JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b
+                WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.3
+            ), edges AS (
+                SELECT id_a AS u, id_b AS v FROM pairs
+                UNION
+                SELECT id_b, id_a FROM pairs
+            ), reach(src, dst) AS (
+                SELECT u, u FROM edges
+                UNION
+                SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u
+            ), near_losers AS (
+                SELECT src AS doc_id FROM reach
+                GROUP BY src HAVING src <> min(dst)
+            )
+            SELECT p.doc_id,
+                   CASE WHEN p.early IS NOT NULL THEN p.early
+                        WHEN p.doc_id NOT IN (SELECT doc_id FROM exact_keep)
+                             THEN 'exact_dup'
+                        WHEN p.doc_id IN (SELECT doc_id FROM near_losers)
+                             THEN 'near_dup'
+                        ELSE 'kept' END AS decision
+            FROM pre p
+        """,
     }

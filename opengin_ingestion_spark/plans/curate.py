@@ -16,6 +16,7 @@ the dead-letter analog for dedup).
 
 from __future__ import annotations
 
+from collections.abc import Callable
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
@@ -43,6 +44,7 @@ def curate_documents(
     config: CurateConfig = CurateConfig(),
     id_col: str = "doc_id",
     text_col: str = "text",
+    pairs_fn: Callable[[DataFrame], DataFrame] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns ``(kept, decisions)``.
 
@@ -53,6 +55,13 @@ def curate_documents(
     as a slim (id, flags) frame; every decision branch and filter derives
     from it by key, so the expressions never re-evaluate per branch and
     the report costs no extra pass over the corpus text.
+
+    ``pairs_fn(exact_survivors) -> (id_a, id_b, ...)`` swaps the near-dup
+    pair stage: default is MinHash-LSH (the 100 TB path); pass e.g. exact
+    n-gram Jaccard to make the whole pipeline SQL-oracle-able (the driver
+    contract query does this) or an embedding-cosine stage for semantic
+    dedup. Everything downstream (CC grouping, exemplars, the report) is
+    stage-agnostic.
     """
     # one scoring scan → slim checkpointed flags (ids + two numbers)
     flags = docs.select(
@@ -74,14 +83,17 @@ def curate_documents(
     exact_survivors = quality_ok.join(exact_keep, id_col, "left_semi")
 
     # near-dup: LSH pairs → transitive groups → exemplar = smallest id
-    pairs = minhash_lsh_pairs(
-        exact_survivors,
-        text_col=text_col,
-        id_col=id_col,
-        n_hashes=config.minhash_hashes,
-        bands=config.minhash_bands,
-        threshold=config.near_dup_threshold,
-    )
+    if pairs_fn is not None:
+        pairs = pairs_fn(exact_survivors)
+    else:
+        pairs = minhash_lsh_pairs(
+            exact_survivors,
+            text_col=text_col,
+            id_col=id_col,
+            n_hashes=config.minhash_hashes,
+            bands=config.minhash_bands,
+            threshold=config.near_dup_threshold,
+        )
     groups = dedup_groups(pairs)
     near_losers = groups.filter(F.col("node") != F.col("group")).select(
         F.col("node").alias(id_col), F.col("group").alias("_kept_as")
