@@ -1036,7 +1036,7 @@ def oracle_sql() -> dict[str, str]:
                        '[^a-z0-9_-]', '', 'g') AS fname
             FROM documents
         """,
-        # payload prefixes chosen per n_chars%4 in the query; length() of a
+        # payload prefixes chosen per n_chars%3 in the query; length() of a
         # BLOB is bytes in DuckDB, octet_length of utf-8 text + magic bytes
         "media_mime_stats": """
             WITH m AS (

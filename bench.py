@@ -42,6 +42,9 @@ HEADLINE = [
     "minhash_neardup",
     "simhash_neardup",
     "ann_topk",
+    "lsh_ann_topk",
+    "ngram_jaccard",
+    "curate_decisions",
     "media_features",
     "ordered_event_log",
     "fragment_aggregation",
@@ -114,10 +117,26 @@ def bench_cdc_replay(spark, n_events: int, n_urls: int) -> dict[str, float]:
         )
         elapsed = time.perf_counter() - t0
         applied = sum(r.metrics.get("events_in", 0) for r in results)
+
+        # downstream read paths over the replayed table:
+        # full read projecting the heavy family (html+text recovered via the
+        # _seq join — no dedup aggregate under the heavy_seq_unique
+        # invariant) and the CDC-out incremental read (manifest-diff +
+        # key anti-join)
+        from opengin_ingestion_spark.sources.gintable import table_changes
+
+        t0 = time.perf_counter()
+        _run_to_noop(table.read())
+        heavy_read = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _run_to_noop(table_changes(table, 0))
+        changes = time.perf_counter() - t0
         return {
             "cdc_replay_sec": round(elapsed, 3),
             "cdc_events_applied": applied,
             "cdc_events_per_sec": round(applied / elapsed, 1),
+            "heavy_read_sec": round(heavy_read, 3),
+            "table_changes_sec": round(changes, 3),
         }
     finally:
         shutil.rmtree(base, ignore_errors=True)
@@ -143,6 +162,8 @@ def main() -> None:
     if not os.environ.get("BENCH_QUERIES_ONLY"):
         cdc = bench_cdc_replay(spark, n_events, max(1000, n_events // 10))
         queries["cdc_replay"] = cdc["cdc_replay_sec"]
+        queries["heavy_read"] = cdc["heavy_read_sec"]
+        queries["table_changes"] = cdc["table_changes_sec"]
 
     total = round(sum(queries.values()), 3)
     out = {

@@ -429,9 +429,14 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
+    # NO broadcast hint: the sizes frame has one row per input document —
+    # forcing it through the driver OOMs at corpus scale. It is a slim
+    # (long, long) frame, so AQE broadcasts it when it fits and falls back
+    # to a shuffle join when the corpus is genuinely huge (same reasoning
+    # as dedup_keep_exemplars below).
     jac = (
-        inter.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
         .withColumn(
             "jaccard",
             F.col("inter").cast("double")

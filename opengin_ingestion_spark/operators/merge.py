@@ -63,6 +63,7 @@ from opengin_ingestion_spark.sources.gintable import (
 )
 
 OP_COL = "op"
+FROM_TARGET_COL = "_from_target"  # transient LWW tie-break marker
 
 
 @dataclass
@@ -211,6 +212,10 @@ def _merge_once(
             F.lit("I")
         ),
     )
+    # origin marker, used by the LWW tie-break below (transient — never
+    # part of the stored schema)
+    target = target.withColumn(FROM_TARGET_COL, F.lit(True))
+    updates = updates.withColumn(FROM_TARGET_COL, F.lit(False))
 
     # --- THE shuffle: everything co-located by url-hash bucket ---------------
     # One payload shuffle total (it is required for the bucketed write
@@ -244,11 +249,17 @@ def _merge_once(
         if pdf.empty:
             return
         # partition-local LWW: whole-row winner per key by (ts, seq).
-        # Duplicate delivery → identical rows tie on (ts, seq); keep='last'
-        # picks one, content-equal either way.
-        pdf = pdf.sort_values([ts, SEQ_COL], kind="mergesort").drop_duplicates(
-            subset=[key], keep="last"
-        )
+        # Duplicate delivery → the redelivered copy ties the target row on
+        # (ts, seq); the target sorts LAST (False < True) so keep='last'
+        # picks the already-applied copy. That keeps derived light columns
+        # (lang) without recomputation AND — because target rows carry null
+        # heavy payloads — nothing is re-appended to the heavy family: the
+        # at-most-one-heavy-row-per-_seq manifest invariant
+        # (gintable.heavy_seq_unique) that lets reads skip the whole-family
+        # dropDuplicates.
+        pdf = pdf.sort_values(
+            [ts, SEQ_COL, FROM_TARGET_COL], kind="mergesort"
+        ).drop_duplicates(subset=[key], keep="last")
         deleted = pdf[OP_COL].to_numpy() == "D"
         pdf = pdf.copy()
         pdf[DELETED_COL] = deleted

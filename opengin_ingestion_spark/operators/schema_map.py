@@ -51,6 +51,14 @@ class SchemaMapping:
         both = set(self.renames) & set(self.drops)
         if both:
             raise ValueError(f"columns both renamed and dropped: {sorted(both)}")
+        chained = set(self.renames.values()) & set(self.renames.keys())
+        if chained:
+            # {a: b, b: c} would depend on withColumnsRenamed map order and
+            # slips past apply's collision check (both keys leave `have`)
+            raise ValueError(
+                f"chained renames (target of one is source of another): "
+                f"{sorted(chained)} — collapse to direct source→target rules"
+            )
 
 
 def apply_schema_mapping(df: DataFrame, mapping: SchemaMapping | dict) -> DataFrame:

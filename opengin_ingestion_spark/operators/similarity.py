@@ -68,22 +68,34 @@ def _query_chunks(
     src: DataFrame, id_col: str, vec_col: str, max_rows: int
 ):
     """Yield (ids, matrix) query chunks, never collecting more than
-    ``max_rows`` rows to the driver at once. One corpus-side scan per chunk
-    selects the chunk by a uniform hash of the id — the driver holds a
-    bounded slice, not the table."""
-    n = src.count()
-    n_chunks = max(1, -(-n // max_rows))  # ceil
+    ``max_rows`` rows to the driver at once. The slim (id, vec) projection
+    is persisted across the count + per-chunk selections, so the source is
+    scanned ONCE — each chunk filter (uniform id-hash) reads the cached
+    projection, not the table. The driver holds a bounded slice; memory on
+    the executors is bounded by the projection (ids + vectors only)."""
     base = src.select(id_col, vec_col)
-    for c in range(n_chunks):
-        part = base if n_chunks == 1 else base.filter(
-            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_chunks)) == c
-        )
-        pdf = part.toPandas()
-        if len(pdf) == 0:
-            continue
-        ids = pdf[id_col].to_numpy()
-        m = _safe_normalize(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
-        yield ids, m
+    n = base.count()
+    n_chunks = max(1, -(-n // max_rows))  # ceil
+    if n_chunks > 1:
+        base = base.persist()
+        base.count()  # materialize the cache before the chunk selections
+    try:
+        for c in range(n_chunks):
+            part = base if n_chunks == 1 else base.filter(
+                F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_chunks)) == c
+            )
+            pdf = part.toPandas()
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            m = _safe_normalize(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
+            yield ids, m
+    finally:
+        # safe at generator exhaustion: every chunk is already collected,
+        # and the downstream mapInPandas stages reference the corpus, not
+        # this projection
+        if n_chunks > 1:
+            base.unpersist()
 
 
 def brute_force_topk(
@@ -137,6 +149,12 @@ def brute_force_topk(
                 yield out[np.isfinite(out["cos"])]
 
         chunk_outputs.append(corpus.mapInPandas(local_topk, schema=_TOPK_SCHEMA))
+    if not chunk_outputs:  # empty corpus/query set → empty result, not IndexError
+        return corpus.sparkSession.createDataFrame([], _TOPK_SCHEMA).select(
+            F.col("q_id").alias(id_col),
+            F.col("c_id").alias("neighbor_id"),
+            F.lit(1).alias("rank"),
+        )
     cand = chunk_outputs[0]
     for extra in chunk_outputs[1:]:
         cand = cand.unionByName(extra)
@@ -201,6 +219,8 @@ def exact_neardup_pairs(
                 )
 
         chunk_outputs.append(corpus.mapInPandas(pairs, schema=out_schema))
+    if not chunk_outputs:  # empty corpus → empty result, not IndexError
+        return corpus.sparkSession.createDataFrame([], out_schema)
     out = chunk_outputs[0]
     for extra in chunk_outputs[1:]:
         out = out.unionByName(extra)
@@ -399,6 +419,68 @@ def _ivf_assign_udf(centroids: np.ndarray, n_probe: int):
     return probe_ids
 
 
+def build_ivf_index(
+    corpus: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    train_sample: int = 4096,
+    seed: int = 42,
+) -> dict:
+    """Train and PERSIST an IVF index: centroids (JSON, driver-small) +
+    home-cell assignments carrying the vectors (Parquet, partitioned by
+    cell so a probe reads only its cells' files). Amortizes the quantizer
+    training and the full-corpus assignment scan across every subsequent
+    ``ivf_ann_topk(..., index_path=...)`` call — the analog of the
+    reference persisting each pipeline stage so work is never redone
+    (reference orchestrator.py:137-153).
+
+    Returns the meta dict (also written to ``<index_path>/meta.json``).
+    Deterministic: same corpus + seed ⇒ identical index across sessions.
+    """
+    import json as _json
+    import os as _os
+
+    centroids = train_centroids(
+        corpus, id_col, vec_col, n_centroids, train_sample, seed=seed
+    )
+    _os.makedirs(index_path, exist_ok=True)
+    meta = {
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "n_centroids": int(centroids.shape[0]),
+        "dim": int(centroids.shape[1]),
+        "train_sample": train_sample,
+        "seed": seed,
+        "centroids": centroids.tolist(),
+    }
+    tmp = _os.path.join(index_path, "meta.json.tmp")
+    with open(tmp, "w") as fh:
+        _json.dump(meta, fh)
+    _os.replace(tmp, _os.path.join(index_path, "meta.json"))
+    assigned = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        _ivf_assign_udf(centroids, 1)(F.col(vec_col)).getItem(0).alias("cell"),
+    )
+    (
+        assigned.write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(_os.path.join(index_path, "cells"))
+    )
+    return meta
+
+
+def load_ivf_centroids(index_path: str) -> np.ndarray:
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(index_path, "meta.json")) as fh:
+        meta = _json.load(fh)
+    return np.asarray(meta["centroids"], dtype=np.float64)
+
+
 def ivf_ann_topk(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -409,6 +491,7 @@ def ivf_ann_topk(
     seed: int = 42,
     train_sample: int = 4096,
     max_cell_size: int = 100_000,
+    index_path: str | None = None,
 ) -> DataFrame:
     """IVF approximate self-search top-k — the second scale path next to
     ``lsh_ann_topk``: a k-means coarse quantizer partitions the corpus into
@@ -418,21 +501,40 @@ def ivf_ann_topk(
     data-oblivious hyperplanes on clustered embeddings — the realistic
     case). Cells above ``max_cell_size`` are dropped from the CANDIDATE
     side only (degenerate-cell guard, observable metric ``ivf_cell_cap``).
+
+    ``index_path`` (from ``build_ivf_index``) reuses the persisted
+    quantizer and candidate assignments: no centroid retraining, no
+    corpus-wide assignment pass — only the query side runs the (cheap)
+    probe matmul. Results are identical to the inline path by construction
+    (same seed/sample ⇒ same centroids).
     """
-    centroids = train_centroids(
-        corpus, id_col, vec_col, n_centroids, train_sample, seed=seed
-    )
+    if index_path is not None:
+        centroids = load_ivf_centroids(index_path)
+        import os as _os
+
+        spark = corpus.sparkSession
+        home = spark.read.parquet(_os.path.join(index_path, "cells")).select(
+            F.col(id_col).alias("c_id"),
+            F.col(vec_col).alias("c_vec"),
+            F.col("cell").cast("int").alias("cell"),
+        )
+    else:
+        centroids = train_centroids(
+            corpus, id_col, vec_col, n_centroids, train_sample, seed=seed
+        )
+        home = None
     corpus = ensure_min_parallelism(corpus)
     probed = corpus.select(
         F.col(id_col),
         F.col(vec_col),
         _ivf_assign_udf(centroids, n_probe)(F.col(vec_col)).alias("cells"),
     ).localCheckpoint(eager=True)  # UDF evaluated once; self-joined below
-    home = probed.select(
-        F.col(id_col).alias("c_id"),
-        F.col(vec_col).alias("c_vec"),
-        F.col("cells")[0].alias("cell"),  # a vector is INDEXED in its home cell
-    )
+    if home is None:
+        home = probed.select(
+            F.col(id_col).alias("c_id"),
+            F.col(vec_col).alias("c_vec"),
+            F.col("cells")[0].alias("cell"),  # a vector is INDEXED in its home cell
+        )
     home = cap_key_frequency(home, ["cell"], max_cell_size, "ivf_cell")
     queries = probed.select(
         F.col(id_col).alias("q_id"),

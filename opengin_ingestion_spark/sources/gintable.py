@@ -185,6 +185,15 @@ class GinTable:
             "schema_version": 1,
             "schemas": {"1": json.loads(stored.json())},
             "column_families": {"heavy": heavy},
+            # invariant flag: the heavy family holds at most one row per
+            # _seq. True from creation; every engine writer preserves it
+            # (MERGE prefers the target copy on exact (ts, seq) ties, so a
+            # redelivered event never re-appends its payload; compaction /
+            # expiry rewrite from deduped state). Reads skip the
+            # whole-family dropDuplicates while it holds. Manifests from
+            # older engine revisions lack the key → read() falls back to
+            # the defensive dedup.
+            "heavy_seq_unique": True,
             "files": [],
             "applied_batch_ranges": [],
             "metrics": {},
@@ -338,7 +347,13 @@ class GinTable:
                 if heavy_files:
                     hpaths = [os.path.join(self.path, f.path) for f in heavy_files]
                     hdf = self.spark.read.schema(heavy_schema).parquet(*hpaths)
-                    hdf = hdf.dropDuplicates([SEQ_COL])
+                    if not snap.get("heavy_seq_unique", False):
+                        # defensive path for pre-invariant manifests only:
+                        # the dedup hash-aggregates the whole heavy family
+                        # (payloads included). Keyed on _seq, same as the
+                        # join, so the join reuses the exchange — the heavy
+                        # side still shuffles once, not twice.
+                        hdf = hdf.dropDuplicates([SEQ_COL])
                 else:
                     hdf = self.spark.createDataFrame([], heavy_schema)
                 df = df.join(hdf, SEQ_COL, "left")
@@ -448,6 +463,7 @@ class GinTable:
         expected_parent: int | None = None,
         new_n_buckets: int | None = None,
         replaced_families: set[str] | None = None,
+        heavy_seq_unique: bool | None = None,
     ) -> dict:
         """Commit a copy-on-write snapshot: files in ``replaced_buckets``
         are dropped, ``new_files`` added, everything else carried forward.
@@ -455,6 +471,11 @@ class GinTable:
         ``replaced_families`` restricts the drop to those column families
         (the MERGE passes {"base"}: a bucket's heavy files are append-only
         and stay referenced). None = all families (full-rewrite ops).
+
+        ``heavy_seq_unique`` overrides the at-most-one-heavy-row-per-_seq
+        invariant flag; None (every engine writer) inherits the parent's —
+        pass False if committing externally-produced heavy files that may
+        repeat a _seq.
 
         Raises CommitConflict if another writer got the version first
         (optimistic concurrency; caller re-reads and retries).
@@ -499,6 +520,11 @@ class GinTable:
             "schema_version": schema_version,
             "schemas": schemas,
             "column_families": parent.get("column_families", {"heavy": []}),
+            "heavy_seq_unique": (
+                parent.get("heavy_seq_unique", False)
+                if heavy_seq_unique is None
+                else heavy_seq_unique
+            ),
             "files": carried + [f.to_json() for f in new_files],
             "applied_batch_ranges": applied,
             "metrics": metrics or {},
@@ -581,6 +607,12 @@ def table_changes(
     """
     snap_to = table.snapshot(to_version) if to_version is not None else table.current_snapshot()
     snap_from = table.snapshot(from_version)
+    if snap_from["version"] > snap_to["version"]:
+        raise ValueError(
+            f"reversed version range: from={snap_from['version']} > "
+            f"to={snap_to['version']} — a reversed range would skip the "
+            "expiry check and misreport carried-forward rows as upserts"
+        )
     # a tombstone expiry inside the range ERASES delete evidence: a consumer
     # synced before it would silently resurrect deleted rows. Refuse — the
     # consumer must re-sync from a full snapshot (same contract as Iceberg

@@ -36,6 +36,36 @@ CHANGES_SPARK_SCHEMA = T.StructType(
 )
 
 
+def arrow_field_spark_type(field) -> T.DataType:
+    """Widened Spark type for one Arrow field (int32/int64 → long — the
+    same widening Spark 4's Parquet reader performs on read)."""
+    st = str(field.type)
+    if st in ("int32", "int64"):
+        return T.LongType()
+    if st in ("string", "large_string"):
+        return T.StringType()
+    if st in ("binary", "large_binary"):
+        return T.BinaryType()
+    if st.startswith("timestamp"):
+        return T.TimestampType()
+    if st == "double":
+        return T.DoubleType()
+    if st == "float":
+        return T.FloatType()
+    return T.StringType()
+
+
+def file_schema_sig(path: str) -> frozenset[tuple[str, str]]:
+    """Footer-peek signature of one Parquet file under the widening map —
+    {(name, widened_spark_type)}. Two files with equal signatures are the
+    same schema era; a signature not covered by the stream's pinned schema
+    is drift (streaming/tail.py supervisor)."""
+    schema = pq.read_schema(path)
+    return frozenset(
+        (f.name, arrow_field_spark_type(f).simpleString()) for f in schema
+    )
+
+
 def infer_log_schema(log_dir: str) -> T.StructType:
     """Union the physical schemas in the log into the widest Spark schema.
 
@@ -44,7 +74,6 @@ def infer_log_schema(log_dir: str) -> T.StructType:
     so this stays O(#eras), not O(#files): we stop reading footers once a
     file matches an already-seen column signature.
     """
-    widen = {"int32": T.LongType(), "int64": T.LongType()}
     fields: dict[str, T.StructField] = {}
     seen_sigs: set[tuple] = set()
     for f in sorted(os.listdir(log_dir)):
@@ -56,19 +85,7 @@ def infer_log_schema(log_dir: str) -> T.StructType:
             continue
         seen_sigs.add(sig)
         for field in schema:
-            st = str(field.type)
-            if st in widen:
-                spark_t: T.DataType = widen[st]
-            elif st == "string" or st == "large_string":
-                spark_t = T.StringType()
-            elif st == "binary" or st == "large_binary":
-                spark_t = T.BinaryType()
-            elif st.startswith("timestamp"):
-                spark_t = T.TimestampType()
-            elif st == "double" or st == "float":
-                spark_t = T.DoubleType() if st == "double" else T.FloatType()
-            else:
-                spark_t = T.StringType()
+            spark_t = arrow_field_spark_type(field)
             if field.name not in fields:
                 fields[field.name] = T.StructField(field.name, spark_t, True)
             elif isinstance(spark_t, T.LongType):

@@ -49,6 +49,8 @@ def tail_changelog(
     tombstone_retention_seconds: float = 7 * 24 * 3600.0,
     compact_max_files: int = 4,
     schema_mapping=None,
+    schema=None,
+    drift_check=None,
 ) -> StreamingQuery:
     """Start the tail. Returns the StreamingQuery (caller awaits/stops).
 
@@ -63,14 +65,23 @@ def tail_changelog(
     per batch and tombstones forever. Maintenance commits are ordinary
     conflict-checked commits — a crash between merge and maintenance loses
     only maintenance, never data.
+
+    ``schema`` pins the stream schema (default: inferred from the log at
+    start — a Structured Streaming query cannot change schema mid-run).
+    ``drift_check()`` (supervised_tail wires one) runs at the TOP of every
+    micro-batch, BEFORE the merge: raising there kills the query with the
+    batch id uncommitted, so the restarted query reprocesses that batch
+    under the evolved schema — new columns are never silently dropped.
     """
     table = load_or_create_pages_table(spark, table_path, log_dir, n_buckets)
 
     stream = read_changelog_stream(
-        spark, log_dir, max_files_per_trigger=max_files_per_trigger
+        spark, log_dir, schema=schema, max_files_per_trigger=max_files_per_trigger
     )
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if drift_check is not None:
+            drift_check()
         df = batch_df
         if dead_letter_dir is not None:
             from opengin_ingestion_spark.operators.validate import split_dead_letter
@@ -121,3 +132,94 @@ def tail_changelog(
     elif processing_time:
         writer = writer.trigger(processingTime=processing_time)
     return writer.start()
+
+
+class SchemaDrift(Exception):
+    """New log files carry columns/types outside the stream's pinned
+    schema — the running query must restart to pick them up."""
+
+
+def supervised_tail(
+    spark: SparkSession,
+    log_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    max_restarts: int = 5,
+    **tail_kwargs,
+) -> dict:
+    """Run the tail under a schema-drift supervisor: when the log evolves
+    mid-stream (a new file whose footer signature the pinned stream schema
+    does not cover), the query is killed BEFORE the offending micro-batch
+    merges, the schema is re-inferred, and the query restarts from its
+    checkpoint — the aborted batch replays under the evolved schema and
+    the table layer evolves at merge as usual. This closes the standard
+    Structured Streaming gap (a running query's schema is fixed at start)
+    without manual intervention.
+
+    Drift detection is O(new files) per micro-batch: one Parquet footer
+    peek per file not seen when the attempt's schema was pinned; widening
+    (int32→int64) is NOT drift — Spark's reader already absorbs it.
+
+    With ``available_now`` (default) each attempt drains the log and the
+    call returns ``{"restarts": n, "schema": <final StructType>}``; a
+    clean drain is followed by one more drift check so files that evolved
+    the schema AFTER the drain's file listing still get applied. With a
+    processing-time trigger the call supervises forever (until an
+    unrelated error or ``max_restarts`` schema changes).
+    """
+    import os
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from opengin_ingestion_spark.sources.reader import (
+        file_schema_sig,
+        infer_log_schema,
+    )
+
+    restarts = 0
+    while True:
+        pinned = infer_log_schema(log_dir)
+        pinned_sig = {
+            (f.name, f.dataType.simpleString()) for f in pinned.fields
+        }
+        seen = {
+            f for f in os.listdir(log_dir) if f.endswith(".parquet")
+        }
+
+        def drift_check(_seen=seen, _pinned=pinned_sig):
+            for f in sorted(os.listdir(log_dir)):
+                if not f.endswith(".parquet") or f in _seen:
+                    continue
+                sig = file_schema_sig(os.path.join(log_dir, f))
+                if not sig <= _pinned:
+                    raise SchemaDrift(
+                        f"log file {f} carries {sorted(sig - _pinned)} "
+                        "outside the pinned stream schema"
+                    )
+                _seen.add(f)  # covered era: never re-peek this footer
+
+        q = tail_changelog(
+            spark, log_dir, table_path, checkpoint_dir,
+            schema=pinned, drift_check=drift_check, **tail_kwargs,
+        )
+        try:
+            q.awaitTermination()
+        except StreamingQueryException:
+            new_sig = {
+                (f.name, f.dataType.simpleString())
+                for f in infer_log_schema(log_dir).fields
+            }
+            if new_sig == pinned_sig or restarts >= max_restarts:
+                raise  # not drift (or drift storm) — surface it
+            restarts += 1
+            continue
+        # clean drain: files may still have evolved after this attempt's
+        # listing — re-pin and drain them too
+        new_sig = {
+            (f.name, f.dataType.simpleString())
+            for f in infer_log_schema(log_dir).fields
+        }
+        if new_sig != pinned_sig and restarts < max_restarts:
+            restarts += 1
+            continue
+        return {"restarts": restarts, "schema": infer_log_schema(log_dir)}

@@ -87,9 +87,10 @@ def test_split_reduces_incremental_write_bytes(spark, tmp_path):
 
 
 def test_split_duplicate_delivery_no_row_duplication(spark, tmp_path):
-    """The same events delivered under TWO batch ids append the same _seq
-    to the heavy family twice; the read-side dedupe keeps row counts
-    correct and payloads intact."""
+    """The same events delivered under TWO batch ids: the LWW tie-break
+    prefers the already-applied target copy, so the heavy family receives
+    NO duplicate _seq (the heavy_seq_unique manifest invariant), row counts
+    stay correct, and payloads remain intact."""
     d = str(tmp_path / "log")
     generate_changelog(d, ChangeLogSpec(n_events=500, n_urls=80, n_batches=1, seed=3))
     f = sorted(glob.glob(os.path.join(d, "*.parquet")))[0]
@@ -102,15 +103,63 @@ def test_split_duplicate_delivery_no_row_duplication(spark, tmp_path):
                 pandas_transform=pages_pandas_transform,
                 transform_fields=TRANSFORM_FIELDS)
     n1 = table.read().count()
+    heavy_rows_before = sum(
+        fl["rows"] for fl in table.current_snapshot()["files"]
+        if fl.get("family") == "heavy"
+    )
     merge_batch(table, df, batch_id=1,  # duplicate content, NEW batch id
                 pandas_transform=pages_pandas_transform,
                 transform_fields=TRANSFORM_FIELDS)
+    snap = table.current_snapshot()
+    assert snap["heavy_seq_unique"] is True
+    heavy_rows_after = sum(
+        fl["rows"] for fl in snap["files"] if fl.get("family") == "heavy"
+    )
+    assert heavy_rows_after == heavy_rows_before, (
+        "redelivered payloads must not be re-appended to the heavy family"
+    )
     assert table.read().count() == n1, "dup delivery must not duplicate rows"
     pdf = table.read().toPandas()
     assert pdf["html"].notna().all()
+    assert pdf["lang"].notna().all(), "derived light columns must survive"
     assert_states_equal(
         table.read(include_internal=True).toPandas(), oracle_final_state(d)
     )
+
+
+def test_heavy_read_skips_dedup_under_invariant(spark, tiny_log, tmp_path):
+    """With the heavy_seq_unique invariant (every table this engine writes)
+    the full read joins heavy directly — no aggregate/dedup over the heavy
+    family in the plan. A legacy manifest without the flag falls back to
+    the defensive dropDuplicates and still reads correctly."""
+    import json
+
+    table, _ = replay_changelog(
+        spark, tiny_log["dir"], str(tmp_path / "pages"), n_buckets=8,
+        group_files=2,
+    )
+    assert table.current_snapshot()["heavy_seq_unique"] is True
+    plan = table.read()._jdf.queryExecution().executedPlan().toString()
+    assert "Join" in plan
+    assert "Aggregate" not in plan, (
+        "invariant tables must not pay the heavy-family dedup aggregate"
+    )
+    expected = table.read().toPandas()
+
+    # simulate a legacy manifest: strip the flag from the current snapshot
+    v = table.current_version()
+    mpath = table._manifest_path(v)
+    with open(mpath) as fh:
+        snap = json.load(fh)
+    del snap["heavy_seq_unique"]
+    with open(mpath, "w") as fh:
+        json.dump(snap, fh)
+    legacy = GinTable.load(spark, table.path)
+    lplan = legacy.read()._jdf.queryExecution().executedPlan().toString()
+    assert "Aggregate" in lplan, "legacy manifests must keep the dedup"
+    got = legacy.read().toPandas().sort_values("url").reset_index(drop=True)
+    exp = expected.sort_values("url").reset_index(drop=True)
+    assert got.equals(exp)
 
 
 def test_merge_target_read_never_scans_heavy(spark, tiny_log, tmp_path):

@@ -175,6 +175,9 @@ def test_schema_mapping_rules(spark):
         apply_schema_mapping(df, {"renames": {"a": "x", "b": "x"}})
     with pytest.raises(ValueError, match="already present"):
         apply_schema_mapping(df, {"renames": {"language": "id"}})
+    # chained rename {a: b, b: c} would depend on rename map ordering
+    with pytest.raises(ValueError, match="chained"):
+        apply_schema_mapping(df, {"renames": {"language": "tmp", "tmp": "lang"}})
 
 
 def test_midstream_rename_lands_in_existing_column(spark, tiny_log, tmp_path):

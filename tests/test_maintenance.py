@@ -27,9 +27,16 @@ def fragmented_table(spark, tiny_log, tmp_path_factory):
     base = table.read(include_internal=True).withColumn(
         BUCKET_COL, table.bucket_expr("url")
     )
-    # 6 appends of disjoint tiny slices → multi-file buckets
+    # 6 appends of disjoint tiny slices → multi-file buckets. Fresh _seq
+    # values: an append must never duplicate an existing row's _seq — base
+    # rows are unique per _seq by table invariant (heavy_seq_unique), and a
+    # compaction of duplicated base rows would fan the heavy join out.
     for i in range(6):
-        part = base.filter(F.pmod(F.xxhash64("_seq"), F.lit(6)) == i).limit(20)
+        part = (
+            base.filter(F.pmod(F.xxhash64("_seq"), F.lit(6)) == i)
+            .limit(20)
+            .withColumn("_seq", F.col("_seq") + F.lit(10_000_000 * (i + 1)))
+        )
         files = table.write_data_files(part, table.current_version() + 1, 1)
         table.commit(files, replaced_buckets=set(), batch_ids=[])
     return table
@@ -56,17 +63,25 @@ def test_merge_keeps_buckets_compact(spark, tiny_log, tmp_path):
     assert not fragmented_buckets(table, max_files_per_bucket=1)
 
 
+def _sorted_rows(df):
+    # None-safe sort key: appended fixture rows carry null heavy columns
+    return sorted(
+        map(tuple, df.collect()),
+        key=lambda t: tuple((x is None, x) for x in t),
+    )
+
+
 def test_compact_restores_one_file_per_bucket(spark, fragmented_table):
     table = fragmented_table
     assert fragmented_buckets(table, max_files_per_bucket=4)
-    rows_before = sorted(map(tuple, table.read(include_internal=True).collect()))
+    rows_before = _sorted_rows(table.read(include_internal=True))
     files_before = len(table.current_snapshot()["files"])
     snap = compact(table, max_files_per_bucket=1)
     assert snap["metrics"]["op"] == "compact"
     assert len(table.current_snapshot()["files"]) < files_before
     assert not fragmented_buckets(table, max_files_per_bucket=1)
     # table contents byte-for-byte unchanged
-    rows_after = sorted(map(tuple, table.read(include_internal=True).collect()))
+    rows_after = _sorted_rows(table.read(include_internal=True))
     assert rows_after == rows_before
     # idempotent: nothing left to compact
     v = table.current_version()

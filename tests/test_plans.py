@@ -93,6 +93,23 @@ def test_whole_stage_codegen_on_text_stats(spark):
     assert "EvalPython" not in plan
 
 
+def test_ngram_size_join_not_forced_broadcast(spark):
+    """The per-document size frame joins in ngram_jaccard_pairs must NOT be
+    hint-forced broadcasts: the frame is O(n_docs) rows — at corpus scale a
+    forced broadcast OOMs the driver. With the shingle cap disabled (the
+    only intentional broadcast hint in the operator), the analyzed plan
+    must carry no broadcast hint at all; AQE remains free to choose a
+    broadcast at runtime when the frame is actually small."""
+    from opengin_ingestion_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.3, max_shingle_df=None)
+    analyzed = pairs._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed, (
+        "size-frame join is hint-forced — remove the F.broadcast()"
+    )
+
+
 def test_salted_repartition_balances_hot_keys(spark, tiny_log):
     """north_rule: salted repartitioning defeats hot-url skew — with the
     zipfian log, plain url-partitioning concentrates rows on few

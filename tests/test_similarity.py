@@ -83,6 +83,22 @@ def test_brute_force_chunked_matches_unchunked(vecs):
     assert one == chunked
 
 
+def test_empty_corpus_returns_empty_frames(spark):
+    """Zero-row inputs yield empty results with the contract schema, not an
+    IndexError from an empty chunk list."""
+    from opengin_ingestion_spark.operators.similarity import exact_neardup_pairs
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    )
+    topk = brute_force_topk(empty, k=3)
+    assert topk.columns == ["vec_id", "neighbor_id", "rank"]
+    assert topk.count() == 0
+    pairs = exact_neardup_pairs(empty, threshold=0.5)
+    assert pairs.columns == ["id_a", "id_b", "cos"]
+    assert pairs.count() == 0
+
+
 def test_exact_neardup_pairs_matches_numpy(vecs):
     """exact_neardup_pairs == numpy full-pair cosine at the threshold, in
     both single-chunk and chunked mode."""
@@ -128,6 +144,35 @@ def test_ivf_ann_recall_on_clustered_data(spark):
     approx = {(q, n) for q, n, _ in a}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.9, f"IVF recall@5 too low on clustered data: {recall}"
+
+
+def test_ivf_persisted_index_matches_inline(spark, tmp_path):
+    """build_ivf_index persists quantizer + assignments; querying through
+    the index returns exactly the inline (train-per-call) result, and the
+    persisted centroids round-trip bit-for-bit (determinism across
+    sessions — the JSON float repr is exact)."""
+    import numpy as np
+
+    from opengin_ingestion_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_ann_topk,
+        load_ivf_centroids,
+        train_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    idx = str(tmp_path / "ivf")
+    meta = build_ivf_index(emb, idx, n_centroids=8, seed=42)
+    assert meta["n_centroids"] == 8 and meta["dim"] == 64
+    inline = sorted(
+        map(tuple, ivf_ann_topk(emb, k=5, n_centroids=8, seed=42).collect())
+    )
+    indexed = sorted(map(tuple, ivf_ann_topk(emb, k=5, index_path=idx).collect()))
+    assert inline == indexed
+    cent = load_ivf_centroids(idx)
+    fresh = train_centroids(emb, n_centroids=8, seed=42)
+    assert cent.shape == (8, 64)
+    assert np.array_equal(cent, fresh)
 
 
 def test_embedding_neardup_pairs(spark, vecs):

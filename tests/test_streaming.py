@@ -171,6 +171,59 @@ def test_streaming_over_evolving_log(spark, evolving_log, tmp_path):
     assert_states_equal(engine, oracle_final_state(evolving_log["dir"]))
 
 
+def test_supervised_tail_restarts_on_midstream_schema_drift(
+    spark, evolving_log, tmp_path
+):
+    """The supervisor closes the fixed-stream-schema gap end-to-end: a tail
+    is started over the pre-evolution half of the log; the post-evolution
+    files (new `lang` column, widened content_len) land while it runs; the
+    supervisor kills the query BEFORE the drifted batch merges, re-infers,
+    restarts from the checkpoint, and the final state equals the batch
+    oracle over the WHOLE log — no silently dropped columns."""
+    import glob
+    import os
+    import shutil
+    import threading
+    import time
+
+    from opengin_ingestion_spark.streaming.tail import supervised_tail
+
+    src_files = sorted(glob.glob(os.path.join(evolving_log["dir"], "*.parquet")))
+    assert len(src_files) == 8  # evolution_k=4 → files 0-3 v1, 4-7 v2
+    live = str(tmp_path / "live_log")
+    os.makedirs(live)
+    for f in src_files[:4]:
+        shutil.copy(f, live)
+    ckpt = str(tmp_path / "ckpt")
+
+    def add_evolved_files():
+        # wait until the first micro-batch is planned, then land the
+        # evolved era mid-run (the query still has ≥3 batches to go at
+        # maxFilesPerTrigger=1, so this is mid-stream, not post-drain)
+        deadline = time.time() + 120
+        while not os.path.exists(os.path.join(ckpt, "offsets", "0")):
+            if time.time() > deadline:
+                return
+            time.sleep(0.05)
+        for f in src_files[4:]:
+            shutil.copy(f, live)
+
+    t = threading.Thread(target=add_evolved_files)
+    t.start()
+    res = supervised_tail(
+        spark, live, str(tmp_path / "pages"), ckpt,
+        n_buckets=8, max_files_per_trigger=1, available_now=True,
+    )
+    t.join()
+    assert res["restarts"] >= 1, "drift must force at least one restart"
+    assert "lang" in res["schema"].fieldNames()
+    table = GinTable.load(spark, str(tmp_path / "pages"))
+    engine = table.read(include_internal=True).toPandas()
+    assert_states_equal(engine, oracle_final_state(live))
+    # post-evolution winners carry their log-provided lang
+    assert table.read().filter("lang is not null").count() > 0
+
+
 def test_windowed_event_counts_match_batch(spark, tmp_path):
     """Streaming watermarked tumbling-window counts == the same aggregation
     run in batch over the whole log (completeness under in-bound lateness).

@@ -127,6 +127,22 @@ def test_table_changes_incremental_read(spark, tiny_log, tmp_path):
     assert n_tomb == int(internal["_deleted"].fillna(False).sum())
 
 
+def test_table_changes_rejects_reversed_range(spark, tiny_log, tmp_path):
+    """A reversed (from > to) range must raise, not silently misreport all
+    of the earlier snapshot's rows as upserts."""
+    import pytest
+
+    from opengin_ingestion_spark.plans.replay import replay_changelog
+    from opengin_ingestion_spark.sources.gintable import table_changes
+
+    table, results = replay_changelog(
+        spark, tiny_log["dir"], str(tmp_path / "pages"), n_buckets=8,
+        group_files=2,
+    )
+    with pytest.raises(ValueError, match="reversed"):
+        table_changes(table, results[-1].version, 0)
+
+
 def test_table_changes_refuses_range_across_tombstone_expiry(spark, tmp_path):
     """A tombstone expiry erases delete evidence — an incremental consumer
     synced before it must get an error, not silent resurrection."""
