@@ -110,6 +110,37 @@ def test_ngram_size_join_not_forced_broadcast(spark):
     )
 
 
+def test_table_changes_plan_key_only_anti_join(spark, tiny_log, tmp_path):
+    """CDC-out: the carried-row elimination is a LeftAnti whose from-side
+    scan reads ONLY the key columns (url, _seq, _deleted) — never the
+    payload; heavy columns are joined onto the delta once."""
+    from opengin_ingestion_spark.plans.replay import replay_changelog
+    from opengin_ingestion_spark.sources.gintable import table_changes
+
+    table, results = replay_changelog(
+        spark, tiny_log["dir"], str(tmp_path / "pages"), n_buckets=8,
+        group_files=2,
+    )
+    delta = table_changes(table, results[0].version)
+    plan = _plan(delta)
+    assert "LeftAnti" in plan
+    fmt = _formatted(delta)
+    key_only = [
+        ln for ln in fmt.splitlines()
+        if "ReadSchema" in ln and "_deleted" in ln and "html" not in ln
+    ]
+    assert key_only, "from-side scan must be key-pruned (no payload columns)"
+
+
+def test_gap_sessions_single_shuffle(spark):
+    """Sessionization: ONE hash exchange on the session key feeds both
+    window passes (lag, running sum) and the final aggregate — the windows
+    and the groupBy share the partitioning."""
+    fmt = _formatted(entry_mod.queries()["event_sessions"](spark, SF_DIR))
+    assert fmt.count("hashpartitioning") == 1, fmt[:2000]
+    assert "Window" in fmt and "HashAggregate" in fmt
+
+
 def test_salted_repartition_balances_hot_keys(spark, tiny_log):
     """north_rule: salted repartitioning defeats hot-url skew — with the
     zipfian log, plain url-partitioning concentrates rows on few
