@@ -142,6 +142,51 @@ def bench_cdc_replay(spark, n_events: int, n_urls: int) -> dict[str, float]:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def bench_ivf_index(spark, sf_dir: str) -> dict[str, float]:
+    """IVF index amortization: one-off build (train + assignment write),
+    then a QUERY-BATCH search through the persisted index (the serving
+    path the index exists for — corpus-side work already paid) vs the
+    exact brute-force search of the same batch. Self-search stays its own
+    suite entry (the index cannot amortize the query-side probe pass
+    there)."""
+    from pyspark.sql import functions as F
+
+    from opengin_ingestion_spark.operators.similarity import (
+        brute_force_topk,
+        build_ivf_index,
+        ivf_search,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    batch = emb.filter(F.col("vec_id") % 20 == 0)  # ~5% as the query batch
+    base = tempfile.mkdtemp(prefix="bench_ivf_")
+    try:
+        idx = os.path.join(base, "ivf")
+        t0 = time.perf_counter()
+        build_ivf_index(emb, idx, n_centroids=16, seed=42)
+        build = time.perf_counter() - t0
+
+        def best_of(fn, runs=2):
+            b = float("inf")
+            for _ in range(runs):
+                t = time.perf_counter()
+                fn()
+                b = min(b, time.perf_counter() - t)
+            return b
+
+        indexed = best_of(lambda: _run_to_noop(ivf_search(batch, idx, k=5)))
+        exact = best_of(
+            lambda: _run_to_noop(brute_force_topk(emb, queries=batch, k=5))
+        )
+        return {
+            "ivf_build_sec": round(build, 3),
+            "ivf_search_batch_sec": round(indexed, 3),
+            "exact_search_batch_sec": round(exact, 3),
+        }
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
@@ -157,8 +202,12 @@ def main() -> None:
     _warmup(spark, sf_dir)
     queries: dict[str, float] = {}
     cdc: dict[str, float] = {}
+    ivf: dict[str, float] = {}
     if not os.environ.get("BENCH_CDC_ONLY"):
         queries = bench_queries(spark, sf_dir, runs)
+        ivf = bench_ivf_index(spark, sf_dir)
+        queries["ivf_search_batch"] = ivf["ivf_search_batch_sec"]
+        queries["exact_search_batch"] = ivf["exact_search_batch_sec"]
     if not os.environ.get("BENCH_QUERIES_ONLY"):
         cdc = bench_cdc_replay(spark, n_events, max(1000, n_events // 10))
         queries["cdc_replay"] = cdc["cdc_replay_sec"]
@@ -176,6 +225,7 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": cpus,
         **cdc,
+        **ivf,
     }
     print(json.dumps(out))
 

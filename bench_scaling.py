@@ -166,7 +166,7 @@ def main() -> None:
     os.makedirs("BENCH", exist_ok=True)
     # preserve hand-written analysis sections (anything after the marker)
     preserved = ""
-    marker = "## Round-2 note"
+    marker = "## Round-3 note"
     if os.path.exists("BENCH/BASELINE.md"):
         old = open("BENCH/BASELINE.md").read()
         if marker in old:

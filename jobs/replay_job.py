@@ -24,6 +24,9 @@ def main() -> None:
     p.add_argument("--buckets", type=int, default=None,
                    help="bucket count; default: auto-size from log bytes")
     p.add_argument("--streaming", action="store_true")
+    p.add_argument("--supervised", action="store_true",
+                   help="streaming mode: restart automatically when the "
+                        "log's schema evolves mid-run (supervised_tail)")
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--maintenance-every", type=int, default=None,
                    help="run compaction + tombstone expiry every N batches")
@@ -55,16 +58,22 @@ def main() -> None:
         )
 
     if args.streaming:
-        from opengin_ingestion_spark.streaming.tail import tail_changelog
-
         ckpt = args.checkpoint or (args.table + "_ckpt")
-        q = tail_changelog(
-            spark, args.log_dir, args.table, ckpt,
+        common = dict(
             n_buckets=args.buckets, available_now=True,
             maintenance_every=args.maintenance_every,
             tombstone_retention_seconds=args.tombstone_retention,
         )
-        q.awaitTermination()
+        if args.supervised:
+            from opengin_ingestion_spark.streaming.tail import supervised_tail
+
+            res = supervised_tail(spark, args.log_dir, args.table, ckpt, **common)
+            print(f"SUPERVISED_RESTARTS {res['restarts']}")
+        else:
+            from opengin_ingestion_spark.streaming.tail import tail_changelog
+
+            q = tail_changelog(spark, args.log_dir, args.table, ckpt, **common)
+            q.awaitTermination()
     else:
         if args.maintenance_every is not None:
             raise SystemExit(

@@ -338,12 +338,16 @@ def expire_tombstones(table: GinTable, watermark_ts) -> dict:
     bucket that holds expirable tombstones, so schedule like a compaction).
     """
     snap = table.current_snapshot()
-    full = table.read(snap, include_internal=True)
     expirable = F.coalesce(F.col(DELETED_COL), F.lit(False)) & (
         F.col("warc_ts") < F.lit(watermark_ts)
     )
+    # bucket discovery needs only (url, warc_ts, _deleted) — include_heavy=
+    # False keeps this scan off the payload family (Catalyst cannot
+    # eliminate the heavy left-join on its own: it lacks the uniqueness
+    # guarantee our manifest invariant provides)
     buckets_df = (
-        full.filter(expirable)
+        table.read(snap, include_internal=True, include_heavy=False)
+        .filter(expirable)
         .select(table.bucket_expr("url", snap).alias(BUCKET_COL))
         .distinct()
     )

@@ -465,7 +465,11 @@ def build_ivf_index(
         _ivf_assign_udf(centroids, 1)(F.col(vec_col)).getItem(0).alias("cell"),
     )
     (
-        assigned.write.mode("overwrite")
+        # repartition by cell first: one file per cell instead of up to
+        # (tasks × cells) shards — a probe then opens exactly its cells'
+        # files, and small-scale read overhead stays O(cells)
+        assigned.repartition(F.col("cell"))
+        .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(_os.path.join(index_path, "cells"))
     )
@@ -479,6 +483,72 @@ def load_ivf_centroids(index_path: str) -> np.ndarray:
     with open(_os.path.join(index_path, "meta.json")) as fh:
         meta = _json.load(fh)
     return np.asarray(meta["centroids"], dtype=np.float64)
+
+
+def ivf_search(
+    queries: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 4,
+    max_cell_size: int = 100_000,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Top-k search of a QUERY BATCH against a persisted IVF index — the
+    amortized serving path: the corpus-side work (quantizer training, the
+    full-corpus assignment pass, the cell-partitioned layout) was paid once
+    by ``build_ivf_index``; per call only the (small) query batch runs the
+    probe matmul, and the scan touches only the probed cells' files
+    (cell-partition pruning on the index layout). Pair space =
+    |queries| × (n_probe/C) × |corpus|.
+
+    ``exclude_self`` drops candidate == query id matches (self-search
+    convention, same as ivf_ann_topk)."""
+    import os as _os
+
+    centroids = load_ivf_centroids(index_path)
+    spark = queries.sparkSession
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(
+            _ivf_assign_udf(centroids, n_probe)(F.col(vec_col))
+        ).alias("cell"),
+    ).localCheckpoint(eager=True)  # probed twice: cell collect + join
+    # explicit cell pruning: the batch probes at most min(|batch|·n_probe,
+    # n_centroids) distinct cells — collecting that tiny set makes the
+    # index scan STATICALLY partition-pruned (cell is the layout's
+    # partition column), so a probe opens only its cells' files instead of
+    # relying on runtime DPP
+    probe_cells = [r["cell"] for r in q.select("cell").distinct().collect()]
+    home = (
+        spark.read.parquet(_os.path.join(index_path, "cells"))
+        .filter(F.col("cell").isin(probe_cells))
+        .select(
+            F.col(id_col).alias("c_id"),
+            F.col(vec_col).alias("c_vec"),
+            F.col("cell").cast("int").alias("cell"),
+        )
+    )
+    home = cap_key_frequency(home, ["cell"], max_cell_size, "ivf_cell")
+    cand = q.join(home, "cell")
+    if exclude_self:
+        cand = cand.filter(F.col("q_id") != F.col("c_id"))
+    cand = cand.groupBy("q_id", "c_id").agg(
+        F.first("q_vec").alias("q_vec"), F.first("c_vec").alias("c_vec")
+    )
+    scored = cand.withColumn("cos", _cosine("q_vec", "c_vec"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("q_id").alias(id_col),
+            F.col("c_id").alias("neighbor_id"),
+            F.col("rank"),
+        )
+    )
 
 
 def ivf_ann_topk(

@@ -146,6 +146,36 @@ def test_ivf_ann_recall_on_clustered_data(spark):
     assert recall >= 0.9, f"IVF recall@5 too low on clustered data: {recall}"
 
 
+def test_ivf_search_batch_recall(spark, tmp_path):
+    """The serving path: a query batch searched through the persisted
+    index has high recall@5 vs exact brute force of the same batch, and
+    never returns self-matches."""
+    from opengin_ingestion_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_search,
+    )
+
+    rng = np.random.RandomState(11)
+    centers = rng.standard_normal((8, 16)) * 4
+    rows = []
+    for i in range(160):
+        c = centers[i % 8]
+        rows.append((i, [float(x) for x in (c + 0.3 * rng.standard_normal(16))]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    idx = str(tmp_path / "ivf_s")
+    build_ivf_index(df, idx, n_centroids=8, seed=42)
+    batch = df.filter("vec_id % 10 = 0")  # 16 queries
+    exact = {
+        (r["vec_id"], r["neighbor_id"])
+        for r in brute_force_topk(df, queries=batch, k=5).collect()
+    }
+    got = ivf_search(batch, idx, k=5, n_probe=2).collect()
+    approx = {(r["vec_id"], r["neighbor_id"]) for r in got}
+    assert all(r["vec_id"] != r["neighbor_id"] for r in got)
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"ivf_search recall@5 too low: {recall}"
+
+
 def test_ivf_persisted_index_matches_inline(spark, tmp_path):
     """build_ivf_index persists quantizer + assignments; querying through
     the index returns exactly the inline (train-per-call) result, and the
