@@ -173,3 +173,87 @@ def test_spark_lww_matches_fold(spark, seed):
             if r["op"] != "D"
         }
         assert got == expect, impl.__name__
+
+
+# --- heavy-family _seq uniqueness under ANY delivery schedule (round 3) ----
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_merge_heavy_uniqueness_under_redelivery(spark, seed, tmp_path):
+    """For a random event set, random batching, and random REDELIVERY of
+    whole batches under fresh batch ids: the heavy family never holds two
+    rows for one _seq (the heavy_seq_unique manifest invariant), and the
+    final table state equals the pandas LWW fold."""
+    import os
+    import random
+    from datetime import datetime, timezone
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from opengin_ingestion_spark.operators.merge import merge_batch
+    from opengin_ingestion_spark.sources.gintable import GinTable
+
+    rnd = random.Random(seed)
+    events = [
+        (
+            f"u{rnd.randint(0, 9)}",
+            datetime(2024, 1, 1, tzinfo=timezone.utc).replace(hour=rnd.randint(0, 23)),
+            seq,
+            rnd.choice(["I", "I", "U", "D"]),
+            f"payload-{seq}".encode(),
+        )
+        for seq in range(80)
+    ]
+    rnd.shuffle(events)
+    # random batching + redelivery of some batches under fresh ids
+    batches = []
+    i = 0
+    while i < len(events):
+        k = rnd.randint(1, 20)
+        batches.append(events[i : i + k])
+        i += k
+    delivery = list(batches) + [rnd.choice(batches) for _ in range(2)]
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("html", T.BinaryType()),
+    ])
+    table = GinTable.create(
+        spark, str(tmp_path / f"t{seed}"),
+        T.StructType([f for f in schema.fields if f.name not in ("seq", "op")]),
+        n_buckets=4, heavy_columns=("html",),
+    )
+    for bid, batch in enumerate(delivery):
+        df = spark.createDataFrame(
+            [(u, ts, s, op, h) for (u, ts, s, op, h) in batch], schema
+        )
+        merge_batch(table, df, batch_id=bid)
+
+    snap = table.current_snapshot()
+    assert snap["heavy_seq_unique"] is True
+    heavy_paths = [
+        os.path.join(table.path, f["path"])
+        for f in snap["files"] if f.get("family") == "heavy"
+    ]
+    if heavy_paths:
+        hdf = spark.read.parquet(*heavy_paths)
+        dup = hdf.groupBy("_seq").count().filter(F.col("count") > 1).count()
+        assert dup == 0, "heavy family holds a duplicate _seq"
+
+    # final state == pandas LWW fold (live winners with their payload)
+    best: dict = {}
+    for u, ts, s, op, h in events:
+        cur = best.get(u)
+        if cur is None or (ts, s) > (cur[0], cur[1]):
+            best[u] = (ts, s, op, h)
+    expect = {
+        u: (ts, h) for u, (ts, s, op, h) in best.items() if op != "D"
+    }
+    got = {
+        r["url"]: (r["warc_ts"].replace(tzinfo=timezone.utc), bytes(r["html"]))
+        for r in table.read().collect()
+    }
+    assert got == expect
