@@ -417,6 +417,34 @@ def q_curate_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decisions.select("doc_id", "decision")
 
 
+def q_media_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame sampling (1→N mapInPandas explode): documents
+    re-cast as videos with a deterministic duration; per-media frame count
+    and last frame timestamp are pure functions of the duration rule, so
+    the exploded cardinality is DuckDB-checkable even though the frame
+    payloads themselves come from the stubbed codec."""
+    from opengin_ingestion_spark.operators.multimodal import sample_frames
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit(None).cast("string").alias("mime"),
+            F.lit(None).cast("bigint").alias("bytes"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            ((F.col("n_chars") % 10 + 1) * 500).cast("bigint").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    frames = sample_frames(media, every_ms=1000, max_frames=8)
+    return frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.max("ts_ms").alias("last_ts_ms"),
+    )
+
+
 def q_docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from opengin_ingestion_spark.operators.dedup import exact_dedup
 
@@ -812,6 +840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_exact_dedup": q_docs_exact_dedup,
         "doc_name_sanitize": q_doc_name_sanitize,
         "media_mime_stats": q_media_mime_stats,
+        "media_frame_stats": q_media_frame_stats,
         "ann_topk": q_ann_topk,
         "embedding_label_stats": q_embedding_label_stats,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1192,6 +1221,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cdc_replay_pages": _replay_oracle_sql(),
         "lsh_ann_topk": _lsh_ann_oracle_sql(),
+        # frame count/timestamps are pure functions of the duration rule:
+        # n = min(max_frames, max(1, duration_ms // every_ms))
+        "media_frame_stats": """
+            SELECT doc_id AS media_id,
+                   CAST(least(8, greatest(1,
+                        ((n_chars % 10 + 1) * 500) // 1000)) AS BIGINT)
+                       AS n_frames,
+                   CAST((least(8, greatest(1,
+                        ((n_chars % 10 + 1) * 500) // 1000)) - 1) * 1000
+                       AS BIGINT) AS last_ts_ms
+            FROM documents WHERE text IS NOT NULL
+        """,
         # the curation pipeline end-to-end: the early branches reuse the
         # proven doc_quality expressions, exact dedup groups on md5(text),
         # the near-dup stage is the proven ngram_jaccard predicate + the

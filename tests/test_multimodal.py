@@ -60,3 +60,43 @@ def test_fake_features_deterministic(media):
 def test_real_decode_is_gated():
     with pytest.raises(NotImplementedError):
         real_decode(b"x", "image")
+
+
+def test_resize_images_plumbing(media):
+    from opengin_ingestion_spark.operators.multimodal import resize_images
+
+    out = {r["media_id"]: r for r in resize_images(media, 4, 3).collect()}
+    assert len(out) == 5  # 1→1 rows, nulls preserved
+    assert out[0]["width"] == 4 and out[0]["height"] == 3
+    assert len(bytes(out[0]["payload"])) == 12
+    assert out[4]["payload"] is None and out[4]["width"] is None
+    # deterministic surrogate (stable across invocations)
+    again = {r["media_id"]: r for r in resize_images(media, 4, 3).collect()}
+    assert bytes(out[1]["payload"]) == bytes(again[1]["payload"])
+
+
+def test_sample_frames_plumbing(media):
+    from opengin_ingestion_spark.operators.multimodal import sample_frames
+
+    rows = sample_frames(media, every_ms=500, max_frames=4).collect()
+    by_id: dict = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append(r)
+    # null payload contributes no frames
+    assert 4 not in by_id
+    # media 2 has meta.duration_ms=1000 → min(4, 1000//500) = 2 frames
+    assert len(by_id[2]) == 2
+    f = sorted(by_id[2], key=lambda r: r["frame_idx"])
+    assert [r["frame_idx"] for r in f] == [0, 1]
+    assert [r["ts_ms"] for r in f] == [0, 500]
+    assert all(len(bytes(r["frame"])) == 256 for r in f)
+    # no-duration media falls back to the deterministic payload-size rule
+    assert len(by_id[3]) >= 1
+    # per-frame payloads are distinct and deterministic
+    assert bytes(f[0]["frame"]) != bytes(f[1]["frame"])
+    again = sorted(
+        (r for r in sample_frames(media, every_ms=500, max_frames=4).collect()
+         if r["media_id"] == 2),
+        key=lambda r: r["frame_idx"],
+    )
+    assert [bytes(r["frame"]) for r in again] == [bytes(r["frame"]) for r in f]
