@@ -3,11 +3,13 @@
 ``queries()`` exposes every operator family of the engine
 (SURVEY.md §2) over the driver's read-only testdata tables; each entry with
 an ``oracle_sql()`` twin is exact-matched against DuckDB (row count +
-schema + order-insensitive value hash): 35 of 37 queries — since round 3
+schema + order-insensitive value hash): 37 of 39 queries — since round 3
 that includes the flagship ``cdc_replay_pages`` (the oracle replays the
 same change-log parquet through a DuckDB window query + the regex
-extraction chain) and ``lsh_ann_topk`` (seeded hyperplanes injected as a
-literal table). The remaining 2 (minhash/simhash near-dup) are genuinely
+extraction chain), ``lsh_ann_topk`` (seeded hyperplanes injected as a
+literal table), the end-to-end ``curate_decisions`` pipeline, and the
+``media_frame_stats`` multimodal explode. The remaining 2
+(minhash/simhash near-dup) are genuinely
 non-SQL-expressible — their signatures are Spark-internal murmur3/xxhash64
 — and run rows-only here while their recall is verified by the local
 pytest suite against the oracled exact-Jaccard operator.

@@ -160,8 +160,21 @@ def main() -> None:
     # entirely inside a degraded window for one level; min-over-sessions
     # converges on each level's clean-phase time (the same best-of logic
     # already applied within a session, extended across sessions).
+    try:  # record the engine revision: a code-change regression shows up
+        # as this session's own efficiency/time drifting from same-rev
+        # history (the headline best-across-sessions estimates the VM's
+        # contention-free capability; regressions are judged per-session
+        # and by the interleaved old-vs-new A/B protocol, BENCH/BASELINE.md)
+        rev = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout.strip() or None
+    except Exception:
+        rev = None
     session = {
         "measured_at": datetime.now(timezone.utc).isoformat(),
+        "rev": rev,
         "events": events,
         "levels": list(levels),
         f"local{levels[0]}": lo,

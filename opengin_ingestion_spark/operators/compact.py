@@ -64,6 +64,11 @@ def rebucket(table: GinTable, new_n_buckets: int, key: str = "url") -> dict:
         },
         expected_parent=snap["version"],
         new_n_buckets=new_n_buckets,
+        # full-table rewrite from deduplicated read state: preserves the
+        # invariant (establishing it on a pre-invariant table would also
+        # require base-row _seq uniqueness, which a legacy external writer
+        # could have violated — stay conservative)
+        heavy_seq_unique=snap.get("heavy_seq_unique", False),
     )
 
 
@@ -94,4 +99,8 @@ def compact(table: GinTable, max_files_per_bucket: int = 4) -> dict:
             "files_written": len(new_files),
         },
         expected_parent=snap["version"],
+        # partial rewrite from deduplicated read state: preserves (but
+        # cannot establish) the invariant — untouched buckets keep their
+        # old heavy files
+        heavy_seq_unique=snap.get("heavy_seq_unique", False),
     )

@@ -324,6 +324,9 @@ def _merge_once(
         # heavy family is append-only under MERGE: prior payload files of
         # the touched buckets stay referenced (their _seqs may still win)
         replaced_families={"base"},
+        # MERGE preserves heavy _seq uniqueness (target-preferring LWW
+        # tie-break: a redelivered event's payload is never re-appended)
+        heavy_seq_unique=snap.get("heavy_seq_unique", False),
     )
     return MergeResult(skipped=False, version=new_snap["version"], metrics=metrics)
 
@@ -370,4 +373,6 @@ def expire_tombstones(table: GinTable, watermark_ts) -> dict:
         batch_ids=[],
         metrics={"op": "expire_tombstones", "buckets_rewritten": len(touched)},
         expected_parent=snap["version"],
+        # full rewrite of the touched buckets from deduplicated read state
+        heavy_seq_unique=snap.get("heavy_seq_unique", False),
     )

@@ -73,13 +73,12 @@ def _query_chunks(
     scanned ONCE — each chunk filter (uniform id-hash) reads the cached
     projection, not the table. The driver holds a bounded slice; memory on
     the executors is bounded by the projection (ids + vectors only)."""
-    base = src.select(id_col, vec_col)
-    n = base.count()
-    n_chunks = max(1, -(-n // max_rows))  # ceil
-    if n_chunks > 1:
-        base = base.persist()
-        base.count()  # materialize the cache before the chunk selections
+    # persist BEFORE the sizing count so that count doubles as the cache
+    # materialization — exactly one source scan regardless of chunk count
+    base = src.select(id_col, vec_col).persist()
     try:
+        n = base.count()
+        n_chunks = max(1, -(-n // max_rows))  # ceil
         for c in range(n_chunks):
             part = base if n_chunks == 1 else base.filter(
                 F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_chunks)) == c
@@ -94,8 +93,7 @@ def _query_chunks(
         # safe at generator exhaustion: every chunk is already collected,
         # and the downstream mapInPandas stages reference the corpus, not
         # this projection
-        if n_chunks > 1:
-            base.unpersist()
+        base.unpersist()
 
 
 def brute_force_topk(

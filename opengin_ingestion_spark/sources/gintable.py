@@ -472,10 +472,14 @@ class GinTable:
         (the MERGE passes {"base"}: a bucket's heavy files are append-only
         and stay referenced). None = all families (full-rewrite ops).
 
-        ``heavy_seq_unique`` overrides the at-most-one-heavy-row-per-_seq
-        invariant flag; None (every engine writer) inherits the parent's —
-        pass False if committing externally-produced heavy files that may
-        repeat a _seq.
+        ``heavy_seq_unique``: the at-most-one-heavy-row-per-_seq invariant
+        flag. ``None`` (the safe default) inherits the parent's flag ONLY
+        when this commit adds no heavy-family files; a commit that does
+        add heavy files must explicitly claim the invariant (engine
+        writers — merge, compact, expire, rebucket — pass the parent flag
+        because their write sets preserve it) or the flag drops to False
+        and reads fall back to the defensive dedup. Nothing verifies an
+        explicit True — the caller is asserting its own write discipline.
 
         Raises CommitConflict if another writer got the version first
         (optimistic concurrency; caller re-reads and retries).
@@ -521,7 +525,10 @@ class GinTable:
             "schemas": schemas,
             "column_families": parent.get("column_families", {"heavy": []}),
             "heavy_seq_unique": (
-                parent.get("heavy_seq_unique", False)
+                (
+                    parent.get("heavy_seq_unique", False)
+                    and not any(f.family == "heavy" for f in new_files)
+                )
                 if heavy_seq_unique is None
                 else heavy_seq_unique
             ),

@@ -37,8 +37,10 @@ CHANGES_SPARK_SCHEMA = T.StructType(
 
 
 def arrow_field_spark_type(field) -> T.DataType:
-    """Widened Spark type for one Arrow field (int32/int64 → long — the
-    same widening Spark 4's Parquet reader performs on read)."""
+    """Widened Spark type for one Arrow field (int32/int64 → long,
+    float/double → double — the widening upcasts Spark 4's Parquet reader
+    performs on read, so a file of the narrower physical type reads cleanly
+    under the widened schema and is NOT schema drift)."""
     st = str(field.type)
     if st in ("int32", "int64"):
         return T.LongType()
@@ -48,10 +50,8 @@ def arrow_field_spark_type(field) -> T.DataType:
         return T.BinaryType()
     if st.startswith("timestamp"):
         return T.TimestampType()
-    if st == "double":
+    if st in ("double", "float"):
         return T.DoubleType()
-    if st == "float":
-        return T.FloatType()
     return T.StringType()
 
 
@@ -75,16 +75,19 @@ def infer_log_schema(log_dir: str) -> T.StructType:
     file matches an already-seen column signature.
     """
     fields: dict[str, T.StructField] = {}
-    seen_sigs: set[tuple] = set()
+    seen_sigs: set[frozenset] = set()
     for f in sorted(os.listdir(log_dir)):
         if not f.endswith(".parquet"):
             continue
-        schema = pq.read_schema(os.path.join(log_dir, f))
-        sig = tuple(schema.names)
+        path = os.path.join(log_dir, f)
+        # era identity must include TYPES: a type-only era change (same
+        # column names, e.g. string→binary) would otherwise never be
+        # footer-peeked and the union schema could silently miss it
+        sig = file_schema_sig(path)
         if sig in seen_sigs:
             continue
         seen_sigs.add(sig)
-        for field in schema:
+        for field in pq.read_schema(path):
             spark_t = arrow_field_spark_type(field)
             if field.name not in fields:
                 fields[field.name] = T.StructField(field.name, spark_t, True)

@@ -178,12 +178,17 @@ def supervised_tail(
 
     restarts = 0
     while True:
+        # list BEFORE pinning: a file landing between the two calls is then
+        # NOT in `seen`, so drift_check footer-peeks it — it either fits the
+        # pinned schema (infer saw it) or raises before its batch merges.
+        # The reverse order would let such a file slip into `seen`
+        # unchecked and have its new columns silently dropped.
+        seen = {
+            f for f in os.listdir(log_dir) if f.endswith(".parquet")
+        }
         pinned = infer_log_schema(log_dir)
         pinned_sig = {
             (f.name, f.dataType.simpleString()) for f in pinned.fields
-        }
-        seen = {
-            f for f in os.listdir(log_dir) if f.endswith(".parquet")
         }
 
         def drift_check(_seen=seen, _pinned=pinned_sig):
@@ -210,7 +215,11 @@ def supervised_tail(
                 for f in infer_log_schema(log_dir).fields
             }
             if new_sig == pinned_sig or restarts >= max_restarts:
-                raise  # not drift (or drift storm) — surface it
+                # not additive drift (a non-widenable TYPE change — e.g.
+                # string→binary — re-infers to the same union schema; map
+                # it onto the table with a SchemaMapping cast instead), or
+                # a drift storm past max_restarts — surface it
+                raise
             restarts += 1
             continue
         # clean drain: files may still have evolved after this attempt's
@@ -219,7 +228,15 @@ def supervised_tail(
             (f.name, f.dataType.simpleString())
             for f in infer_log_schema(log_dir).fields
         }
-        if new_sig != pinned_sig and restarts < max_restarts:
+        if new_sig != pinned_sig:
+            if restarts >= max_restarts:
+                # never return success-shaped output with evolved files
+                # left unapplied (the exception path raises here too)
+                raise RuntimeError(
+                    f"log schema evolved again after {restarts} restarts "
+                    f"(max_restarts={max_restarts}); the newest era's files "
+                    "are NOT applied — raise max_restarts or re-run"
+                )
             restarts += 1
             continue
-        return {"restarts": restarts, "schema": infer_log_schema(log_dir)}
+        return {"restarts": restarts, "schema": pinned}

@@ -215,3 +215,42 @@ def test_compaction_purges_stale_heavy_rows(spark, tmp_path):
     assert_states_equal(
         table.read(include_internal=True).toPandas(), oracle_final_state(d)
     )
+
+
+def test_external_heavy_append_drops_invariant(spark, tiny_log, tmp_path):
+    """A commit that appends heavy-family files WITHOUT claiming the
+    invariant (an external writer) drops heavy_seq_unique to False, and
+    the read path falls back to the defensive dedup — a duplicated _seq
+    cannot fan the payload join out."""
+    from pyspark.sql import functions as F
+
+    from opengin_ingestion_spark.sources.gintable import BUCKET_COL
+
+    table, _ = replay_changelog(
+        spark, tiny_log["dir"], str(tmp_path / "pages"), n_buckets=8
+    )
+    snap = table.current_snapshot()
+    assert snap["heavy_seq_unique"] is True
+    n_before = table.read().count()
+    pdf_before = table.read().toPandas().sort_values("url").reset_index(drop=True)
+
+    # external writer: re-append one existing payload row verbatim
+    one = (
+        table.read(include_internal=True)
+        .filter(F.col("html").isNotNull())
+        .limit(1)
+        .withColumn(BUCKET_COL, table.bucket_expr("url"))
+        .select(BUCKET_COL, "_seq", "html", "text")
+    )
+    files = table.write_data_files(
+        one, snap["version"] + 1, snap["schema_version"], family="heavy"
+    )
+    new_snap = table.commit(files, replaced_buckets=set(), batch_ids=[])
+    assert new_snap["heavy_seq_unique"] is False, (
+        "unclaimed heavy append must drop the invariant flag"
+    )
+    plan = table.read()._jdf.queryExecution().executedPlan().toString()
+    assert "Aggregate" in plan, "defensive dedup must return"
+    assert table.read().count() == n_before, "payload join must not fan out"
+    pdf_after = table.read().toPandas().sort_values("url").reset_index(drop=True)
+    assert pdf_after.equals(pdf_before)
