@@ -55,44 +55,58 @@ def arrow_field_spark_type(field) -> T.DataType:
     return T.StringType()
 
 
-def file_schema_sig(path: str) -> frozenset[tuple[str, str]]:
-    """Footer-peek signature of one Parquet file under the widening map —
+def schema_sig(arrow_schema) -> frozenset[tuple[str, str]]:
+    """Signature of an Arrow schema under the widening map —
     {(name, widened_spark_type)}. Two files with equal signatures are the
     same schema era; a signature not covered by the stream's pinned schema
     is drift (streaming/tail.py supervisor)."""
-    schema = pq.read_schema(path)
     return frozenset(
-        (f.name, arrow_field_spark_type(f).simpleString()) for f in schema
+        (f.name, arrow_field_spark_type(f).simpleString()) for f in arrow_schema
     )
+
+
+def file_schema_sig(path: str) -> frozenset[tuple[str, str]]:
+    """Footer-peek signature of one Parquet file (see schema_sig)."""
+    return schema_sig(pq.read_schema(path))
 
 
 def infer_log_schema(log_dir: str) -> T.StructType:
     """Union the physical schemas in the log into the widest Spark schema.
 
-    Driver-side footer peek at ONE file per distinct schema signature —
-    at scale the log's schema eras are few (schema changes are rare events),
-    so this stays O(#eras), not O(#files): we stop reading footers once a
-    file matches an already-seen column signature.
+    One driver-side footer read per file (the footer is needed to know a
+    file's era at all), but era PROCESSING is O(#eras): files whose
+    (name, widened type) signature was already seen contribute nothing.
+    Era identity includes TYPES — a type-only era change (same column
+    names, e.g. string→binary) must not be silently skipped.
+
+    Eras that conflict beyond the widening map (int→long, float→double —
+    the upcasts Spark 4's Parquet reader performs) raise: reading a
+    double-era file under a long schema would fail at scan time anyway,
+    so fail fast with direction (apply a SchemaMapping cast upstream).
     """
     fields: dict[str, T.StructField] = {}
     seen_sigs: set[frozenset] = set()
     for f in sorted(os.listdir(log_dir)):
         if not f.endswith(".parquet"):
             continue
-        path = os.path.join(log_dir, f)
-        # era identity must include TYPES: a type-only era change (same
-        # column names, e.g. string→binary) would otherwise never be
-        # footer-peeked and the union schema could silently miss it
-        sig = file_schema_sig(path)
+        arrow = pq.read_schema(os.path.join(log_dir, f))
+        sig = schema_sig(arrow)
         if sig in seen_sigs:
             continue
         seen_sigs.add(sig)
-        for field in pq.read_schema(path):
+        for field in arrow:
             spark_t = arrow_field_spark_type(field)
-            if field.name not in fields:
+            prev = fields.get(field.name)
+            if prev is None:
                 fields[field.name] = T.StructField(field.name, spark_t, True)
-            elif isinstance(spark_t, T.LongType):
-                fields[field.name] = T.StructField(field.name, T.LongType(), True)
+            elif prev.dataType != spark_t:
+                raise ValueError(
+                    f"incompatible schema eras in {log_dir} for column "
+                    f"'{field.name}': {prev.dataType.simpleString()} vs "
+                    f"{spark_t.simpleString()} (file {f}) — no widening "
+                    "covers this; map the upstream era onto one type with "
+                    "a SchemaMapping cast"
+                )
     return T.StructType(list(fields.values()))
 
 

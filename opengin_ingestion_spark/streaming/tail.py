@@ -209,16 +209,21 @@ def supervised_tail(
         )
         try:
             q.awaitTermination()
-        except StreamingQueryException:
+        except StreamingQueryException as e:
+            # only an actual SchemaDrift raised by drift_check warrants a
+            # restart — an unrelated failure (dead-letter IO error, a merge
+            # bug) must surface even if the log happens to be evolving at
+            # the same moment, not burn max_restarts re-running it
+            if "SchemaDrift" not in str(e):
+                raise
             new_sig = {
                 (f.name, f.dataType.simpleString())
                 for f in infer_log_schema(log_dir).fields
             }
             if new_sig == pinned_sig or restarts >= max_restarts:
-                # not additive drift (a non-widenable TYPE change — e.g.
-                # string→binary — re-infers to the same union schema; map
-                # it onto the table with a SchemaMapping cast instead), or
-                # a drift storm past max_restarts — surface it
+                # re-infer resolves to the same schema (shouldn't happen:
+                # a non-widenable era now raises inside infer_log_schema),
+                # or a drift storm past max_restarts — surface it
                 raise
             restarts += 1
             continue

@@ -61,3 +61,31 @@ def test_variants(tiny_log, tmp_path):
     shufd = read_log_pandas(str(tmp_path / "shuf")).sort_values("seq").reset_index(drop=True)
     # same logical events, different physical order
     assert base.equals(shufd)
+
+
+def test_infer_log_schema_widens_and_rejects(tmp_path):
+    """Era inference: int32→long and float→double widen (Parquet-reader
+    upcasts, one schema covers all eras); a conflict beyond the widening
+    map fails fast with direction instead of silently narrowing."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from opengin_ingestion_spark.sources.reader import infer_log_schema
+
+    ok = tmp_path / "ok"
+    ok.mkdir()
+    pq.write_table(pa.table({"x": pa.array([1], pa.int32())}), str(ok / "a.parquet"))
+    pq.write_table(
+        pa.table({"x": pa.array([2], pa.int64()), "y": pa.array([0.5], pa.float32())}),
+        str(ok / "b.parquet"),
+    )
+    sch = {f.name: f.dataType.simpleString() for f in infer_log_schema(str(ok)).fields}
+    assert sch == {"x": "bigint", "y": "double"}
+
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    pq.write_table(pa.table({"x": pa.array([1.0], pa.float64())}), str(bad / "a.parquet"))
+    pq.write_table(pa.table({"x": pa.array(["s"], pa.string())}), str(bad / "b.parquet"))
+    with pytest.raises(ValueError, match="incompatible schema eras"):
+        infer_log_schema(str(bad))
