@@ -315,11 +315,12 @@ class GinTable:
         partition pruning for MERGE).
 
         On a column-family-split table, heavy columns are recovered with a
-        ``_seq`` join against the heavy family (deduped: duplicate delivery
-        across distinct batch ids can legitimately append the same ``_seq``
-        twice with identical payload). ``include_heavy=False`` skips the
-        heavy scan AND the join entirely — heavy columns read as null; the
-        MERGE target read uses this (it never needs old payloads).
+        ``_seq`` join against the heavy family — a direct join under the
+        ``heavy_seq_unique`` manifest invariant (every table this engine
+        writes); only pre-invariant/legacy manifests pay a defensive
+        ``dropDuplicates`` first. ``include_heavy=False`` skips the heavy
+        scan AND the join entirely — heavy columns read as null; the MERGE
+        target read uses this (it never needs old payloads).
         """
         snap = snap or self.current_snapshot()
         schema = self.schema(snap, include_internal=True)
