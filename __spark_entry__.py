@@ -699,7 +699,7 @@ def _replay_fixture_paths() -> tuple[str, str]:
     spec = ChangeLogSpec(n_events=5_000, n_urls=500, n_batches=5, seed=42)
     # ENGINE_REV salts the cache key: bump whenever replay/extract/table
     # semantics change, or a stale cached table silently serves old results
-    ENGINE_REV = "r3-heavyuniq"
+    ENGINE_REV = "r4-naive-ts"
     spec_key = hashlib.sha256(f"{ENGINE_REV}|{spec!r}".encode()).hexdigest()[:16]
     base = f"/tmp/opengin_entry_cache_{spec_key}"
     log = os.path.join(base, "log")

@@ -18,7 +18,11 @@ from opengin_ingestion_spark.operators.schema_map import (  # noqa: F401
     SchemaMapping,
     apply_schema_mapping,
 )
-from opengin_ingestion_spark.operators.compact import compact, rebucket  # noqa: F401
+from opengin_ingestion_spark.operators.compact import (  # noqa: F401
+    compact,
+    fold_heavy_compact,
+    rebucket,
+)
 from opengin_ingestion_spark.operators.evolution import (  # noqa: F401
     SchemaEvolutionError,
     align_to_schema,

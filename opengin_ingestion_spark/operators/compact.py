@@ -72,9 +72,84 @@ def rebucket(table: GinTable, new_n_buckets: int, key: str = "url") -> dict:
     )
 
 
-def compact(table: GinTable, max_files_per_bucket: int = 4) -> dict:
+def foldable_buckets(table: GinTable, snap: dict | None = None) -> set[int]:
+    """Buckets not yet in the folded layout: any heavy file, more than one
+    base file, or a single non-folded base file. A bucket already holding
+    exactly one folded file contributes nothing — fold is idempotent."""
+    snap = snap or table.current_snapshot()
+    per_bucket: dict[int, list[dict]] = {}
+    for f in snap["files"]:
+        per_bucket.setdefault(f["bucket"], []).append(f)
+    out = set()
+    for b, fs in per_bucket.items():
+        if any(f.get("family", "base") == "heavy" for f in fs):
+            out.add(b)
+        elif len(fs) > 1 or not fs[0].get("folded", False):
+            out.add(b)
+    return out
+
+
+def fold_heavy_compact(table: GinTable) -> dict:
+    """Fold heavy columns back into single per-bucket base files — the
+    read-optimized layout for tables whose merge churn has quieted: a
+    fully folded table's reads are JOIN-FREE (plan-asserted in
+    tests/test_plans.py), while hot tables keep the split layout's
+    write-amplification win. The inverse trade of the column-family split:
+    one full rewrite of the remaining split buckets now, zero ``_seq``
+    co-shuffles on every read after.
+
+    Work ∝ unfolded buckets (idempotent: a second call is a no-op commit
+    skip). A later MERGE touching a folded bucket transparently re-splits
+    it (merge.py reads folded targets with payloads), so fold and ingest
+    compose — fold is a maintenance op, not a freeze.
+
+    Reference analog: the exporter materializes final denormalized output
+    once aggregation is done
+    (/root/reference/python/src/opengin/tracer/agents/exporter.py:71-84).
+    """
+    snap = table.current_snapshot()
+    buckets = foldable_buckets(table, snap)
+    if not buckets:
+        return snap
+    rows = (
+        table.read(snap, buckets=buckets, include_internal=True)
+        .withColumn(BUCKET_COL, table.bucket_expr("url", snap))
+        .repartition(len(buckets), F.col(BUCKET_COL))
+    )
+    # full rows (heavy inline) as ONE folded base file per bucket; the
+    # commit drops these buckets' heavy files (all families replaced)
+    new_files = table.write_data_files(
+        rows, snap["version"] + 1, snap["schema_version"], folded=True
+    )
+    return table.commit(
+        new_files,
+        replaced_buckets=buckets,
+        batch_ids=[],
+        metrics={
+            "op": "fold_heavy",
+            "buckets_folded": len(buckets),
+            "files_written": len(new_files),
+        },
+        expected_parent=snap["version"],
+        # no heavy-family files exist for the folded buckets afterwards;
+        # untouched buckets were already folded (no heavy rows either) —
+        # the invariant is preserved trivially
+        heavy_seq_unique=snap.get("heavy_seq_unique", False),
+    )
+
+
+def compact(
+    table: GinTable, max_files_per_bucket: int = 4, fold_heavy: bool = False
+) -> dict:
     """Rewrite fragmented buckets to one file each. Returns the new
-    snapshot (or the current one if nothing to do)."""
+    snapshot (or the current one if nothing to do).
+
+    ``fold_heavy=True`` switches to the read-optimized fold instead (see
+    ``fold_heavy_compact()``): every not-yet-folded bucket is rewritten
+    with heavy columns inline and its heavy files dropped — subsequent
+    reads are join-free."""
+    if fold_heavy:
+        return fold_heavy_compact(table)
     snap = table.current_snapshot()
     buckets = fragmented_buckets(table, max_files_per_bucket)
     if not buckets:

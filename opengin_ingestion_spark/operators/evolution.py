@@ -37,6 +37,13 @@ _WIDENING_FAMILIES: dict[type, tuple[str, int]] = {
     T.LongType: ("int", 3),
     T.FloatType: ("float", 0),
     T.DoubleType: ("float", 1),
+    # naive (NTZ) → session-zoned timestamp is value-preserving under the
+    # engine's UTC-session convention (naive values ARE UTC wall-clock —
+    # see sources/changelog.py). Covers sessions that keep Spark 4's
+    # default inferTimestampNTZ=true and read log parquet without the
+    # engine's explicit schema.
+    T.TimestampNTZType: ("ts", 0),
+    T.TimestampType: ("ts", 1),
 }
 
 

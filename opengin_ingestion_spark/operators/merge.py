@@ -202,10 +202,32 @@ def _merge_once(
     # include_heavy=False: LWW needs no old payloads — on a column-family-
     # split table the heavy family is neither read nor rewritten here; a
     # target winner keeps its referenced heavy row, a batch winner appends
-    # a new one (write amplification ∝ changed rows, not bucket size)
-    target = table.read(
-        snap, buckets=touched, include_internal=True, include_heavy=False
-    )
+    # a new one (write amplification ∝ changed rows, not bucket size).
+    # EXCEPTION — FOLDED buckets (compact(fold_heavy=True)): their folded
+    # base file is the ONLY copy of their payloads and this merge replaces
+    # it, so those buckets' target rows must carry heavy columns through
+    # the merge; the split write then re-appends every surviving payload
+    # exactly once (their _seqs have no heavy rows elsewhere — fold dropped
+    # them — so heavy_seq_unique is preserved) and the bucket reverts to
+    # the split layout. Non-folded touched buckets keep the cheap path.
+    folded_buckets = {
+        f["bucket"] for f in snap["files"] if f.get("folded", False)
+    }
+    touched_folded = touched & folded_buckets
+    if touched_folded:
+        target = table.read(
+            snap, buckets=touched - touched_folded,
+            include_internal=True, include_heavy=False,
+        ).unionByName(
+            table.read(
+                snap, buckets=touched_folded,
+                include_internal=True, include_heavy=True,
+            )
+        )
+    else:
+        target = table.read(
+            snap, buckets=touched, include_internal=True, include_heavy=False
+        )
     target = align_to_schema(target, stored_schema).withColumn(
         OP_COL,
         F.when(F.coalesce(F.col(DELETED_COL), F.lit(False)), F.lit("D")).otherwise(

@@ -453,10 +453,6 @@ def build_ivf_index(
         "seed": seed,
         "centroids": centroids.tolist(),
     }
-    tmp = _os.path.join(index_path, "meta.json.tmp")
-    with open(tmp, "w") as fh:
-        _json.dump(meta, fh)
-    _os.replace(tmp, _os.path.join(index_path, "meta.json"))
     assigned = corpus.select(
         F.col(id_col),
         F.col(vec_col),
@@ -471,6 +467,15 @@ def build_ivf_index(
         .partitionBy("cell")
         .parquet(_os.path.join(index_path, "cells"))
     )
+    # meta.json is the index's COMMIT MARKER: written (atomically) only
+    # after the cells layout is fully on disk, so a crash mid-build — or a
+    # reader racing an overwrite-rebuild — never observes a meta-complete
+    # index with missing/partial cells (load_ivf_centroids fails cleanly on
+    # absent meta instead of serving an incomplete candidate set)
+    tmp = _os.path.join(index_path, "meta.json.tmp")
+    with open(tmp, "w") as fh:
+        _json.dump(meta, fh)
+    _os.replace(tmp, _os.path.join(index_path, "meta.json"))
     return meta
 
 

@@ -43,6 +43,12 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # naive parquet timestamps are UTC wall-clock by engine convention
+        # (matches /root/testdata); infer them as TimestampType, not NTZ,
+        # so raw spark.read.parquet over a change log agrees with the
+        # engine's explicit-schema reads (Spark 4 default would infer
+        # timestamp_ntz and trip evolution on timestamp ← timestamp_ntz)
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.parquet.compression.codec", "snappy")

@@ -40,7 +40,11 @@ CHANGE_SCHEMA_V1 = pa.schema(
         ("seq", pa.int64()),
         ("op", pa.string()),
         ("url", pa.string()),
-        ("warc_ts", pa.timestamp("us", tz="UTC")),
+        # naive microseconds (values ARE UTC wall-clock) — matches the
+        # /root/testdata convention; a tz="UTC" annotation here makes the
+        # DuckDB oracle return tz-aware dtypes while Spark returns naive,
+        # failing the driver's tz-kind-sensitive compare (round-3 red cell)
+        ("warc_ts", pa.timestamp("us")),
         ("html", pa.binary()),
         ("content_len", pa.int32()),
     ]
@@ -50,7 +54,7 @@ CHANGE_SCHEMA_V2 = pa.schema(
         ("seq", pa.int64()),
         ("op", pa.string()),
         ("url", pa.string()),
-        ("warc_ts", pa.timestamp("us", tz="UTC")),
+        ("warc_ts", pa.timestamp("us")),  # naive UTC — see CHANGE_SCHEMA_V1
         ("html", pa.binary()),
         ("content_len", pa.int64()),  # widened
         ("lang", pa.string()),  # additive
@@ -183,7 +187,7 @@ def generate_changelog(out_dir: str, spec: ChangeLogSpec) -> dict:
             "seq": pa.array(seqs[lo:hi], pa.int64()),
             "op": pa.array(ops[lo:hi], pa.string()),
             "url": pa.array(urls[lo:hi], pa.string()),
-            "warc_ts": pa.array(warc_ts[lo:hi], pa.timestamp("us", tz="UTC")),
+            "warc_ts": pa.array(warc_ts[lo:hi], pa.timestamp("us")),
             "html": pa.array(htmls[lo:hi], pa.binary()),
         }
         lens = [len(h) for h in htmls[lo:hi]]

@@ -128,13 +128,20 @@ class DataFile:
     bytes: int
     schema_version: int
     family: str = "base"  # column family: "base" (light cols) | "heavy"
+    # folded=True (base family only): the file carries ALL columns, heavy
+    # included — written by compact(fold_heavy=True) for read-heavy tables
+    # so reads of its bucket need no heavy join. A bucket is either folded
+    # (one folded file, zero heavy files) or split; a later MERGE touching
+    # a folded bucket re-splits it (and must read its payloads from the
+    # folded file — see merge.py target read).
+    folded: bool = False
 
     def to_json(self) -> dict:
         return self.__dict__.copy()
 
     @staticmethod
     def from_json(d: dict) -> "DataFile":
-        return DataFile(**{"family": "base", **d})
+        return DataFile(**{"family": "base", "folded": False, **d})
 
 
 class GinTable:
@@ -321,6 +328,12 @@ class GinTable:
         ``dropDuplicates`` first. ``include_heavy=False`` skips the heavy
         scan AND the join entirely — heavy columns read as null; the MERGE
         target read uses this (it never needs old payloads).
+
+        FOLDED buckets (compact(fold_heavy=True)) carry heavy columns
+        inline in their single base-family file: their rows come from one
+        full-schema scan with NO join; a fully folded table's read plan is
+        join-free. Mixed tables (some buckets folded, some split) union
+        the two scans — each row is still read exactly once.
         """
         snap = snap or self.current_snapshot()
         schema = self.schema(snap, include_internal=True)
@@ -331,7 +344,15 @@ class GinTable:
         files = [DataFile.from_json(f) for f in snap["files"]]
         if buckets is not None:
             files = [f for f in files if f.bucket in buckets]
-        base_files = [f for f in files if f.family == "base"]
+        folded_files = [f for f in files if f.family == "base" and f.folded]
+        if not (heavy_cols and include_heavy):
+            # folded files are ordinary base files here: reading them under
+            # base_schema prunes the inline heavy columns at the parquet
+            # scan (ReadSchema excludes them — no payload IO)
+            base_files = [f for f in files if f.family == "base"]
+            folded_files = []
+        else:
+            base_files = [f for f in files if f.family == "base" and not f.folded]
         if not base_files:
             df = self.spark.createDataFrame([], base_schema)
         else:
@@ -345,19 +366,35 @@ class GinTable:
                     [schema[SEQ_COL]] + [schema[c] for c in heavy_cols]
                 )
                 heavy_files = [f for f in files if f.family == "heavy"]
-                if heavy_files:
-                    hpaths = [os.path.join(self.path, f.path) for f in heavy_files]
-                    hdf = self.spark.read.schema(heavy_schema).parquet(*hpaths)
-                    if not snap.get("heavy_seq_unique", False):
-                        # defensive path for pre-invariant manifests only:
-                        # the dedup hash-aggregates the whole heavy family
-                        # (payloads included). Keyed on _seq, same as the
-                        # join, so the join reuses the exchange — the heavy
-                        # side still shuffles once, not twice.
-                        hdf = hdf.dropDuplicates([SEQ_COL])
+                if base_files:
+                    if heavy_files:
+                        hpaths = [os.path.join(self.path, f.path) for f in heavy_files]
+                        hdf = self.spark.read.schema(heavy_schema).parquet(*hpaths)
+                        if not snap.get("heavy_seq_unique", False):
+                            # defensive path for pre-invariant manifests only:
+                            # the dedup hash-aggregates the whole heavy family
+                            # (payloads included). Keyed on _seq, same as the
+                            # join, so the join reuses the exchange — the heavy
+                            # side still shuffles once, not twice.
+                            hdf = hdf.dropDuplicates([SEQ_COL])
+                    else:
+                        hdf = self.spark.createDataFrame([], heavy_schema)
+                    df = df.join(hdf, SEQ_COL, "left")
                 else:
-                    hdf = self.spark.createDataFrame([], heavy_schema)
-                df = df.join(hdf, SEQ_COL, "left")
+                    # all selected buckets are folded (or empty): join-free
+                    for c in heavy_cols:
+                        df = df.withColumn(c, F.lit(None).cast(schema[c].dataType))
+                if folded_files:
+                    fpaths = [os.path.join(self.path, f.path) for f in folded_files]
+                    fdf = self.spark.read.schema(schema).parquet(*fpaths)
+                    if base_files:
+                        df = df.select(
+                            *[f.name for f in schema.fields]
+                        ).unionByName(fdf)
+                    else:
+                        # the split side is empty by construction — drop it
+                        # so the folded-only plan is a bare scan
+                        df = fdf
             else:
                 for c in heavy_cols:
                     df = df.withColumn(c, F.lit(None).cast(schema[c].dataType))
@@ -407,6 +444,7 @@ class GinTable:
         self, df: DataFrame, version: int, schema_version: int,
         n_partitions: int | None = None,
         family: str = "base",
+        folded: bool = False,
     ) -> list[DataFile]:
         """Write ``df`` (must carry BUCKET_COL) as bucketed Parquet files
         under a commit-scoped directory; returns manifest entries.
@@ -419,8 +457,9 @@ class GinTable:
         Files land before the manifest is committed — a crashed commit
         leaves only unreferenced files (GC'able), never a torn table.
         """
+        fam_tag = f"{family}-folded" if folded else family
         commit_dir_rel = os.path.join(
-            DATA_DIR, f"commit-{version:08d}-{family}-{uuid.uuid4().hex[:8]}"
+            DATA_DIR, f"commit-{version:08d}-{fam_tag}-{uuid.uuid4().hex[:8]}"
         )
         commit_dir = os.path.join(self.path, commit_dir_rel)
         if n_partitions:
@@ -449,6 +488,7 @@ class GinTable:
                         bytes=os.path.getsize(fpath),
                         schema_version=schema_version,
                         family=family,
+                        folded=folded,
                     )
                 )
         return out

@@ -37,12 +37,19 @@ CHANGES_SPARK_SCHEMA = T.StructType(
 
 
 def arrow_field_spark_type(field) -> T.DataType:
-    """Widened Spark type for one Arrow field (int32/int64 → long,
-    float/double → double — the widening upcasts Spark 4's Parquet reader
-    performs on read, so a file of the narrower physical type reads cleanly
-    under the widened schema and is NOT schema drift)."""
+    """Widened Spark type for one Arrow field (ints → long, float/double →
+    double — the widening upcasts Spark 4's Parquet reader performs on
+    read, so a file of the narrower physical type reads cleanly under the
+    widened schema and is NOT schema drift).
+
+    Arrow types OUTSIDE the widening map raise: this function is the
+    era/drift identity (schema_sig), and a silent fallback (e.g. → string)
+    would collapse two incompatible eras of such a column into one
+    signature — infer_log_schema could not fail fast and the drift
+    supervisor could not see the change, surfacing instead as a raw
+    Parquet cast error mid-batch with no recovery direction."""
     st = str(field.type)
-    if st in ("int32", "int64"):
+    if st in ("int8", "int16", "int32", "int64"):
         return T.LongType()
     if st in ("string", "large_string"):
         return T.StringType()
@@ -50,9 +57,17 @@ def arrow_field_spark_type(field) -> T.DataType:
         return T.BinaryType()
     if st.startswith("timestamp"):
         return T.TimestampType()
-    if st in ("double", "float"):
+    if st in ("double", "float", "halffloat"):
         return T.DoubleType()
-    return T.StringType()
+    if st == "bool":
+        return T.BooleanType()
+    if st == "date32[day]":
+        return T.DateType()
+    raise ValueError(
+        f"change-log column '{field.name}' has Arrow type {st}, which is "
+        "outside the widening map — cast it upstream (SchemaMapping) to a "
+        "supported type (int/float/string/binary/bool/date/timestamp)"
+    )
 
 
 def schema_sig(arrow_schema) -> frozenset[tuple[str, str]]:

@@ -134,9 +134,22 @@ def tail_changelog(
     return writer.start()
 
 
+# Unique marker embedded in every SchemaDrift message. foreachBatch errors
+# surface as StreamingQueryException whose Python cause chain is not
+# reliably preserved across the JVM boundary, so the supervisor must match
+# on the rendered string — this sentinel makes that match collision-proof
+# (an unrelated error that merely *mentions* "SchemaDrift" is not
+# misclassified as drift, and a genuine drift is recognized even when only
+# the message text survives the wrapping).
+DRIFT_SENTINEL = "[opengin-schema-drift:e5b1c6f2]"
+
+
 class SchemaDrift(Exception):
     """New log files carry columns/types outside the stream's pinned
     schema — the running query must restart to pick them up."""
+
+    def __init__(self, msg: str):
+        super().__init__(f"{DRIFT_SENTINEL} {msg}")
 
 
 def supervised_tail(
@@ -213,8 +226,11 @@ def supervised_tail(
             # only an actual SchemaDrift raised by drift_check warrants a
             # restart — an unrelated failure (dead-letter IO error, a merge
             # bug) must surface even if the log happens to be evolving at
-            # the same moment, not burn max_restarts re-running it
-            if "SchemaDrift" not in str(e):
+            # the same moment, not burn max_restarts re-running it. Match
+            # on the unique sentinel, not the class name: an unrelated
+            # error whose message mentions "SchemaDrift" must not be
+            # misrouted to the restart path.
+            if DRIFT_SENTINEL not in str(e):
                 raise
             new_sig = {
                 (f.name, f.dataType.simpleString())

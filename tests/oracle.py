@@ -40,7 +40,16 @@ def read_log_pandas(log_dir: str) -> pd.DataFrame:
 
 def oracle_final_state(log_dir: str) -> pd.DataFrame:
     """Expected `pages` table after full replay: one row per live url."""
-    df = read_log_pandas(log_dir)
+    return oracle_final_state_from_events(read_log_pandas(log_dir))
+
+
+def oracle_final_state_from_events(df: pd.DataFrame) -> pd.DataFrame:
+    """Same as oracle_final_state but over an in-memory event frame (for
+    tests that merge a filtered subset of a log)."""
+    df = df.copy()
+    if "lang" not in df.columns:
+        df["lang"] = None
+    df["content_len"] = df["content_len"].astype("int64")
     # LWW winner per url: max (warc_ts, seq). Whole-row selection —
     # NOT groupby().last(), which back-fills NaN columns from LOSING events.
     df = df.sort_values(["warc_ts", "seq"]).drop_duplicates(subset="url", keep="last")

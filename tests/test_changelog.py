@@ -89,3 +89,45 @@ def test_infer_log_schema_widens_and_rejects(tmp_path):
     pq.write_table(pa.table({"x": pa.array(["s"], pa.string())}), str(bad / "b.parquet"))
     with pytest.raises(ValueError, match="incompatible schema eras"):
         infer_log_schema(str(bad))
+
+
+def test_unmapped_arrow_type_fails_fast(tmp_path):
+    """An Arrow type outside the widening map (e.g. decimal) must raise at
+    inference — NOT silently map to string, which would collapse two
+    incompatible eras into one signature, blind the drift supervisor, and
+    surface as a raw Parquet cast error mid-batch instead."""
+    import decimal
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from opengin_ingestion_spark.sources.reader import (
+        arrow_field_spark_type,
+        infer_log_schema,
+    )
+
+    d = tmp_path / "dec"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"x": pa.array([decimal.Decimal("1.5")], pa.decimal128(10, 2))}),
+        str(d / "a.parquet"),
+    )
+    with pytest.raises(ValueError, match="outside the widening map"):
+        infer_log_schema(str(d))
+    # supported additions map, not raise
+    assert arrow_field_spark_type(pa.field("b", pa.bool_())).simpleString() == "boolean"
+    assert arrow_field_spark_type(pa.field("d", pa.date32())).simpleString() == "date"
+    assert arrow_field_spark_type(pa.field("i", pa.int8())).simpleString() == "bigint"
+
+
+def test_schema_drift_sentinel():
+    """supervised_tail routes restart-vs-fail on a unique sentinel token in
+    the rendered exception — an unrelated error that merely mentions
+    'SchemaDrift' must not be classified as drift."""
+    from opengin_ingestion_spark.streaming.tail import DRIFT_SENTINEL, SchemaDrift
+
+    e = SchemaDrift("file x carries new columns")
+    assert DRIFT_SENTINEL in str(e)
+    impostor = RuntimeError("merge failed while log SchemaDrift was pending")
+    assert DRIFT_SENTINEL not in str(impostor)

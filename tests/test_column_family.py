@@ -217,6 +217,122 @@ def test_compaction_purges_stale_heavy_rows(spark, tmp_path):
     )
 
 
+def test_fold_heavy_join_free_reads_and_equivalence(spark, tiny_log, tmp_path):
+    """compact(fold_heavy=True): heavy columns folded into one base file
+    per bucket, heavy files dropped, reads JOIN-FREE, state identical to
+    the split layout; a second fold is a no-op."""
+    table, _ = replay_changelog(
+        spark, tiny_log["dir"], str(tmp_path / "pages"), n_buckets=8,
+        group_files=2,
+    )
+    before = table.read(include_internal=True).toPandas()
+    snap = compact(table, fold_heavy=True)
+    assert snap["metrics"]["op"] == "fold_heavy"
+    assert not _files(snap, "heavy"), "fold must drop every heavy file"
+    base = _files(snap, "base")
+    assert base and all(f["folded"] for f in base)
+    assert len(base) == len({f["bucket"] for f in base}), "one file per bucket"
+    plan = table.read()._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, "fully folded reads must be join-free"
+    after = table.read(include_internal=True).toPandas()
+    assert_states_equal(after, oracle_final_state(tiny_log["dir"]))
+    import pandas as pd
+
+    from tests.oracle import normalize_engine_state
+
+    pd.testing.assert_frame_equal(
+        normalize_engine_state(after), normalize_engine_state(before)
+    )
+    # include_heavy=False on a folded table: payloads pruned at the scan
+    light = table.read(include_heavy=False).toPandas()
+    assert light["html"].isna().all() and light["lang"].notna().any()
+    # idempotent: nothing left to fold
+    v = table.current_version()
+    snap2 = compact(table, fold_heavy=True)
+    assert snap2["version"] == v
+
+
+def test_merge_after_fold_preserves_payloads(spark, tmp_path):
+    """A MERGE touching folded buckets must carry their payloads through
+    (the folded file is their only copy): final state still equals the
+    oracle, untouched rows keep html, and the invariant survives the
+    re-split."""
+    d = str(tmp_path / "log")
+    generate_changelog(
+        d, ChangeLogSpec(n_events=2_000, n_urls=300, n_batches=4, seed=21)
+    )
+    files = sorted(glob.glob(os.path.join(d, "*.parquet")))
+    table = GinTable.create(
+        spark, str(tmp_path / "pages"), PAGES_SCHEMA, n_buckets=4,
+        heavy_columns=("html", "text"),
+    )
+    for i, f in enumerate(files[:2]):
+        merge_batch(table, spark.read.parquet(f), batch_id=i,
+                    pandas_transform=pages_pandas_transform,
+                    transform_fields=TRANSFORM_FIELDS)
+    compact(table, fold_heavy=True)
+    assert not _files(table.current_snapshot(), "heavy")
+    for i, f in enumerate(files[2:], start=2):
+        merge_batch(table, spark.read.parquet(f), batch_id=i,
+                    pandas_transform=pages_pandas_transform,
+                    transform_fields=TRANSFORM_FIELDS)
+    snap = table.current_snapshot()
+    assert snap["heavy_seq_unique"] is True
+    # touched buckets re-split (heavy files exist again)
+    assert _files(snap, "heavy"), "merged buckets must revert to split"
+    assert_states_equal(
+        table.read(include_internal=True).toPandas(), oracle_final_state(d)
+    )
+    assert table.read().toPandas()["html"].notna().all()
+
+
+def test_mixed_folded_split_read(spark, tmp_path):
+    """A table with SOME buckets folded and some split (fold, then a merge
+    that re-splits a subset) reads each row exactly once, correctly."""
+    d = str(tmp_path / "log")
+    generate_changelog(
+        d, ChangeLogSpec(n_events=1_500, n_urls=200, n_batches=3, seed=31)
+    )
+    files = sorted(glob.glob(os.path.join(d, "*.parquet")))
+    table = GinTable.create(
+        spark, str(tmp_path / "pages"), PAGES_SCHEMA, n_buckets=8,
+        heavy_columns=("html", "text"),
+    )
+    for i, f in enumerate(files[:2]):
+        merge_batch(table, spark.read.parquet(f), batch_id=i,
+                    pandas_transform=pages_pandas_transform,
+                    transform_fields=TRANSFORM_FIELDS)
+    compact(table, fold_heavy=True)
+    # last batch filtered to a few urls → touches a SUBSET of buckets
+    from pyspark.sql import functions as F
+
+    part = spark.read.parquet(files[2]).filter(
+        F.abs(F.xxhash64(F.col("url"))) % 5 == 0
+    )
+    merge_batch(table, part, batch_id=2,
+                pandas_transform=pages_pandas_transform,
+                transform_fields=TRANSFORM_FIELDS)
+    snap = table.current_snapshot()
+    folded_b = {f["bucket"] for f in _files(snap, "base") if f["folded"]}
+    split_b = {f["bucket"] for f in _files(snap, "base") if not f["folded"]}
+    assert folded_b and split_b, "test needs a genuinely mixed manifest"
+    assert folded_b.isdisjoint(split_b)
+    # oracle over the actually merged events (full first two + filtered last)
+    import pandas as pd
+
+    part_pdf = part.toPandas()
+    full = pd.concat(
+        [pd.read_parquet(files[0]), pd.read_parquet(files[1]), part_pdf],
+        ignore_index=True,
+    )
+    from tests.oracle import oracle_final_state_from_events
+
+    assert_states_equal(
+        table.read(include_internal=True).toPandas(),
+        oracle_final_state_from_events(full),
+    )
+
+
 def test_external_heavy_append_drops_invariant(spark, tiny_log, tmp_path):
     """A commit that appends heavy-family files WITHOUT claiming the
     invariant (an external writer) drops heavy_seq_unique to False, and

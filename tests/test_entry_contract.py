@@ -29,6 +29,19 @@ def ddb():
     return con
 
 
+def _tz_kinds(pdf: pd.DataFrame) -> dict[str, bool]:
+    """Per-column tz-awareness map for datetime columns. The driver's
+    value-hash is tz-KIND-sensitive (a tz-aware dtype hashes differently
+    from a naive one even when every instant agrees — round-3's
+    cdc_replay_pages red cell), so the local gate must assert tz-kind
+    parity BEFORE normalizing, exactly like the numeric-kind assert below."""
+    out = {}
+    for c in pdf.columns:
+        if pd.api.types.is_datetime64_any_dtype(pdf[c]):
+            out[c] = getattr(pdf[c].dt, "tz", None) is not None
+    return out
+
+
 def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
     pdf = pdf.copy()
     pdf = pdf[sorted(pdf.columns)]
@@ -53,8 +66,18 @@ def test_oracle_keys_subset_of_queries():
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_query_matches_oracle(spark, ddb, name):
     q = entry_mod.queries()[name]
-    spark_pdf = _normalize(q(spark, SF_DIR).toPandas())
-    duck_pdf = _normalize(ddb.execute(entry_mod.oracle_sql()[name]).df())
+    spark_raw = q(spark, SF_DIR).toPandas()
+    duck_raw = ddb.execute(entry_mod.oracle_sql()[name]).df()
+    # tz-kind parity BEFORE normalization strips it (driver hash is
+    # tz-kind-sensitive; see _tz_kinds)
+    assert _tz_kinds(spark_raw) == _tz_kinds(duck_raw), (
+        f"tz-awareness differs between Spark and oracle: "
+        f"{_tz_kinds(spark_raw)} vs {_tz_kinds(duck_raw)} — the driver "
+        "hash fails on this even when values agree; align the parquet "
+        "fixture / oracle cast to naive timestamps"
+    )
+    spark_pdf = _normalize(spark_raw)
+    duck_pdf = _normalize(duck_raw)
     assert list(spark_pdf.columns) == list(duck_pdf.columns), "column names differ"
     assert len(spark_pdf) == len(duck_pdf), "row counts differ"
     for c in spark_pdf.columns:
@@ -74,6 +97,41 @@ def test_query_matches_oracle(spark, ddb, name):
             ), f"float column {c} differs (exact compare, like the driver hash)"
         else:
             pd.testing.assert_series_equal(a, b, check_dtype=False, check_names=False)
+
+
+def test_tz_kind_gate_detects_drift():
+    """The round-3 driver red cell: tz-aware vs naive timestamps with equal
+    instants. _tz_kinds must distinguish them (the pre-r4 gate normalized
+    both to naive and passed locally while the driver failed)."""
+    naive = pd.DataFrame({"ts": pd.to_datetime(["2023-11-14T22:13:20"])})
+    aware = pd.DataFrame(
+        {"ts": pd.to_datetime(["2023-11-14T22:13:20"]).tz_localize("UTC")}
+    )
+    assert _tz_kinds(naive) == {"ts": False}
+    assert _tz_kinds(aware) == {"ts": True}
+    assert _tz_kinds(naive) != _tz_kinds(aware)
+    # and normalization makes the VALUES equal — exactly the trap
+    pd.testing.assert_frame_equal(_normalize(naive), _normalize(aware))
+
+
+def test_changelog_fixture_is_tz_naive(tmp_path):
+    """Driver-convention guard: the changelog generator must write naive
+    timestamp[us] like /root/testdata (tz annotation ⇒ tz-aware DuckDB
+    oracle dtype ⇒ driver hash mismatch)."""
+    import pyarrow.parquet as pq
+
+    from opengin_ingestion_spark.sources.changelog import (
+        ChangeLogSpec,
+        generate_changelog,
+    )
+
+    info = generate_changelog(
+        str(tmp_path / "log"), ChangeLogSpec(n_events=60, n_urls=10, n_batches=2)
+    )
+    for f in info["files"]:
+        field = pq.read_schema(f).field("warc_ts")
+        assert field.type.tz is None, f"{f}: warc_ts must be tz-naive"
+        assert str(field.type) == "timestamp[us]"
 
 
 def test_rows_only_queries_run(spark):

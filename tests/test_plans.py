@@ -132,6 +132,30 @@ def test_table_changes_plan_key_only_anti_join(spark, tiny_log, tmp_path):
     assert key_only, "from-side scan must be key-pruned (no payload columns)"
 
 
+def test_folded_read_plan_is_join_free_scan(spark, tiny_log, tmp_path):
+    """compact(fold_heavy=True) on the whole table: the subsequent full
+    read is a bare parquet scan — no Join, no Aggregate, no Exchange; and
+    include_heavy=False still prunes the inline payload columns at the
+    scan (ReadSchema carries no html)."""
+    from opengin_ingestion_spark.operators.compact import compact
+    from opengin_ingestion_spark.plans.replay import replay_changelog
+
+    table, _ = replay_changelog(
+        spark, tiny_log["dir"], str(tmp_path / "pages"), n_buckets=8,
+        group_files=2,
+    )
+    compact(table, fold_heavy=True)
+    plan = _plan(table.read())
+    assert "Join" not in plan and "Aggregate" not in plan
+    assert "Exchange" not in plan, "folded read must not shuffle"
+    fmt = _formatted(table.read(include_heavy=False))
+    reads = [ln for ln in fmt.splitlines() if "ReadSchema" in ln]
+    assert reads and all("html" not in ln for ln in reads), (
+        "include_heavy=False over folded files must prune payload columns "
+        "at the parquet scan"
+    )
+
+
 def test_gap_sessions_single_shuffle(spark):
     """Sessionization: ONE hash exchange on the session key feeds both
     window passes (lag, running sum) and the final aggregate — the windows

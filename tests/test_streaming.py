@@ -206,7 +206,12 @@ def test_supervised_tail_restarts_on_midstream_schema_drift(
                 return
             time.sleep(0.05)
         for f in src_files[4:]:
-            shutil.copy(f, live)
+            # atomic landing (temp name + rename, the changelog writer's
+            # publish convention): the live file source / supervisor footer
+            # peek must never observe a partially copied parquet
+            tmp = os.path.join(live, "." + os.path.basename(f) + ".tmp")
+            shutil.copy(f, tmp)
+            os.rename(tmp, os.path.join(live, os.path.basename(f)))
 
     t = threading.Thread(target=add_evolved_files)
     t.start()
