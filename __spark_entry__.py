@@ -481,6 +481,12 @@ def q_embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No DuckDB oracle (signatures use Spark-internal murmur3/xxhash64),
+    but NOT unchecked: the exact pair set at sf0.01 is snapshotted in
+    tests/golden/rows_only/minhash_neardup.parquet (re-record after an
+    intentional change: UPDATE_GOLDEN_DATA=1 pytest tests/test_golden.py),
+    and recall is tested against the oracled exact-Jaccard operator in
+    tests/test_dedup.py."""
     from opengin_ingestion_spark.operators.dedup import minhash_lsh_pairs
 
     docs = _t(spark, sf_dir, "documents")
@@ -488,6 +494,10 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No DuckDB oracle (FNV-1a over Spark-tokenized features is
+    impractical in SQL); pair set at sf0.01 snapshotted in
+    tests/golden/rows_only/simhash_neardup.parquet (re-record:
+    UPDATE_GOLDEN_DATA=1 pytest tests/test_golden.py)."""
     from opengin_ingestion_spark.operators.dedup import simhash_pairs
 
     docs = _t(spark, sf_dir, "documents")

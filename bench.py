@@ -131,12 +131,41 @@ def bench_cdc_replay(spark, n_events: int, n_urls: int) -> dict[str, float]:
         t0 = time.perf_counter()
         _run_to_noop(table_changes(table, 0))
         changes = time.perf_counter() - t0
+
+        # streaming tail over the SAME log: supervised AvailableNow drain
+        # into a fresh table — the production entry point, including
+        # checkpoint commits and the per-micro-batch drift footer peeks.
+        # No maxFilesPerTrigger cap = one micro-batch, matching the batch
+        # replay's one-merge shape for an apples-to-apples events/s.
+        from opengin_ingestion_spark.streaming.tail import supervised_tail
+
+        t0 = time.perf_counter()
+        supervised_tail(
+            spark, log, os.path.join(base, "pages_tail"),
+            os.path.join(base, "ckpt"), n_buckets=64,
+        )
+        tail_elapsed = time.perf_counter() - t0
+
+        # fold-heavy compaction: the read-optimized layout — measure the
+        # one-off fold, then the join-free read against heavy_read (split)
+        from opengin_ingestion_spark.operators.compact import compact
+
+        t0 = time.perf_counter()
+        compact(table, fold_heavy=True)
+        fold = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _run_to_noop(table.read())
+        folded_read = time.perf_counter() - t0
         return {
             "cdc_replay_sec": round(elapsed, 3),
             "cdc_events_applied": applied,
             "cdc_events_per_sec": round(applied / elapsed, 1),
             "heavy_read_sec": round(heavy_read, 3),
             "table_changes_sec": round(changes, 3),
+            "tail_drain_sec": round(tail_elapsed, 3),
+            "tail_events_per_sec": round(applied / tail_elapsed, 1),
+            "fold_heavy_sec": round(fold, 3),
+            "heavy_read_folded_sec": round(folded_read, 3),
         }
     finally:
         shutil.rmtree(base, ignore_errors=True)
@@ -213,6 +242,9 @@ def main() -> None:
         queries["cdc_replay"] = cdc["cdc_replay_sec"]
         queries["heavy_read"] = cdc["heavy_read_sec"]
         queries["table_changes"] = cdc["table_changes_sec"]
+        queries["tail_drain"] = cdc["tail_drain_sec"]
+        queries["fold_heavy"] = cdc["fold_heavy_sec"]
+        queries["heavy_read_folded"] = cdc["heavy_read_folded_sec"]
 
     total = round(sum(queries.values()), 3)
     out = {

@@ -69,6 +69,21 @@ def test_oracle_matches_golden(ddb, name):
     _check_or_record(got, os.path.join(ORACLE_DIR, f"{name}.parquet"), name)
 
 
+# the two legitimately non-SQL-expressible queries (Spark-internal
+# murmur3/xxhash64 signatures): their PAIR SETS at sf0.01 are small and
+# fully deterministic, so a golden snapshot closes the rows-only gap — a
+# silent signature regression can no longer ship behind a rows-only check.
+ROWS_ONLY_GOLDEN = ["minhash_neardup", "simhash_neardup"]
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_GOLDEN)
+def test_rows_only_pairs_match_golden(spark, name):
+    got = entry_mod.queries()[name](spark, SF_DIR).toPandas()
+    _check_or_record(
+        got, os.path.join(GOLDEN_DIR, "rows_only", f"{name}.parquet"), name
+    )
+
+
 def test_replay_final_state_matches_golden(spark, tmp_path):
     from opengin_ingestion_spark.plans.replay import replay_changelog
     from opengin_ingestion_spark.sources.changelog import (
