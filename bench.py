@@ -24,6 +24,9 @@ import sys
 import tempfile
 import time
 
+import numpy as np
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entry_mod
@@ -216,6 +219,76 @@ def bench_ivf_index(spark, sf_dir: str) -> dict[str, float]:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def bench_ivf_incremental(spark) -> dict[str, float]:
+    """Incremental index maintenance vs full rebuild — the CDC-consumer
+    path (update_ivf_index pairing table_changes). The sf embeddings table
+    is too small to show the asymmetry (a rebuild of 2k vectors is
+    trivially cheap and 16 cells are all touched by any delta), so this
+    entry uses a deterministic 200k-vector clustered corpus with a
+    LOCALIZED ~1.5% delta: the update rewrites only the delta's few home
+    cells while the rebuild re-assigns and rewrites everything — the
+    actual production trade at index sizes where it matters."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from opengin_ingestion_spark.operators.similarity import (
+        build_ivf_index,
+        update_ivf_index,
+    )
+
+    n, dim, n_clusters = 500_000, 64, 64
+
+    def synth(shift: float):
+        # pure function of vec_id: cluster center (sin basis per cluster)
+        # + small per-id deterministic noise — same id ⇒ same vector on
+        # every executor/partitioning, no RNG state
+        @F.pandas_udf(T.ArrayType(T.FloatType()))
+        def synth_vec(ids: pd.Series) -> pd.Series:
+            iv = ids.to_numpy()
+            c = iv % n_clusters
+            centers = np.sin(np.outer(c + 1, np.arange(1, dim + 1) * 0.7))
+            noise = 0.05 * np.sin(np.outer(iv + 1, np.arange(1, dim + 1) * 1.3) + shift)
+            m = (centers + noise).astype(np.float32)
+            return pd.Series(list(m))
+
+        return synth_vec
+
+    base = tempfile.mkdtemp(prefix="bench_ivf_inc_")
+    try:
+        corpus = (
+            spark.range(n)
+            .select(F.col("id").alias("vec_id"), synth(0.0)("id").alias("embedding"))
+            .localCheckpoint(eager=True)  # generation excluded from timing
+        )
+        idx = os.path.join(base, "ivf")
+        t0 = time.perf_counter()
+        build_ivf_index(corpus, idx, n_centroids=n_clusters, seed=42)
+        rebuild = time.perf_counter() - t0
+        # localized delta: every vector of ONE cluster moves (new noise
+        # phase) + some deletes — the hot-shard update pattern
+        delta = (
+            spark.range(0, n, n_clusters)  # ids of cluster 0
+            .select(
+                F.col("id").alias("vec_id"),
+                synth(1.0)("id").alias("embedding"),
+                F.when(F.col("id") % (n_clusters * 20) == 0, F.lit("delete"))
+                .otherwise(F.lit("upsert"))
+                .alias("_change_type"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        t0 = time.perf_counter()
+        stats = update_ivf_index(delta, idx)
+        update = time.perf_counter() - t0
+        return {
+            "ivf_rebuild_500k_sec": round(rebuild, 3),
+            "ivf_update_sec": round(update, 3),
+            "ivf_update_touched_cells": stats["touched_cells"],
+        }
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
@@ -237,6 +310,9 @@ def main() -> None:
         ivf = bench_ivf_index(spark, sf_dir)
         queries["ivf_search_batch"] = ivf["ivf_search_batch_sec"]
         queries["exact_search_batch"] = ivf["exact_search_batch_sec"]
+        inc = bench_ivf_incremental(spark)
+        ivf.update(inc)
+        queries["ivf_update"] = inc["ivf_update_sec"]
     if not os.environ.get("BENCH_QUERIES_ONLY"):
         cdc = bench_cdc_replay(spark, n_events, max(1000, n_events // 10))
         queries["cdc_replay"] = cdc["cdc_replay_sec"]

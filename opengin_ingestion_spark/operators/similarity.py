@@ -479,6 +479,137 @@ def build_ivf_index(
     return meta
 
 
+def update_ivf_index(
+    changes: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    change_type_col: str = "_change_type",
+) -> dict:
+    """Incrementally maintain a persisted IVF index from a CDC delta —
+    the consumer-side pairing of ``table_changes`` (upsert → reassign the
+    vector to its home cell under the EXISTING quantizer; delete → remove)
+    instead of a full ``build_ivf_index`` rebuild.
+
+    ``changes`` carries (id_col, vec_col, change_type_col) with change
+    types ``upsert`` | ``delete`` (vec may be null for deletes).
+
+    Physical shape, sized for a large corpus: ONE column-pruned (id, cell)
+    scan of the index finds the changed ids' old cells (ids can live
+    anywhere — no pruning possible for the lookup, but only the two slim
+    columns are read); everything after is ∝ touched cells: their rows are
+    re-read, changed ids anti-joined out, re-assigned upserts unioned in,
+    and ONLY those cell partitions rewritten (dynamic partition
+    overwrite). Cells the delta never touches keep their files byte-for-
+    byte. The quantizer is NOT retrained — centroid drift under sustained
+    ingest is the signal for a periodic full rebuild (compare cell-size
+    metrics), same trade as any IVF serving system.
+
+    Returns {"touched_cells", "upserts", "deletes"} stats.
+    """
+    import os as _os
+    import shutil as _shutil
+
+    centroids = load_ivf_centroids(index_path)
+    cells_path = _os.path.join(index_path, "cells")
+    spark = changes.sparkSession
+
+    upserts = changes.filter(F.col(change_type_col) == "upsert").select(
+        F.col(id_col), F.col(vec_col)
+    )
+    changed_ids = changes.select(id_col).distinct().localCheckpoint(eager=True)
+
+    assigned_new = upserts.select(
+        F.col(id_col),
+        F.col(vec_col),
+        _ivf_assign_udf(centroids, 1)(F.col(vec_col)).getItem(0).alias("cell"),
+    ).localCheckpoint(eager=True)  # cell stats + keep-union + write
+
+    existing = spark.read.parquet(cells_path)
+    # old homes of changed ids: semi join over the slim (id, cell)
+    # projection — deliberately NOT hint-broadcast (the delta can be
+    # large; AQE picks broadcast when it is actually small)
+    old_cells = {
+        r["cell"]
+        for r in existing.join(changed_ids, id_col, "leftsemi")
+        .select("cell")
+        .distinct()
+        .collect()
+    }
+    # one aggregation over the checkpointed assignments yields the new
+    # home-cell set AND the upsert count (≤n_centroids rows)
+    new_cell_counts = assigned_new.groupBy("cell").count().collect()
+    new_cells = {r["cell"] for r in new_cell_counts}
+    n_upserts = sum(r["count"] for r in new_cell_counts)
+    n_deletes = (
+        changes.filter(F.col(change_type_col) == "delete").select(id_col)
+        .distinct()
+        .count()
+    )
+    touched = sorted(old_cells | new_cells)
+    if not touched:
+        return {"touched_cells": 0, "upserts": 0, "deletes": 0}
+
+    keep = (
+        existing.filter(F.col("cell").isin(touched))
+        .join(changed_ids, id_col, "left_anti")
+        .select(id_col, vec_col, "cell")
+    )
+    replacement = keep.unionByName(
+        assigned_new.select(id_col, vec_col, "cell")
+    )
+    # ONE write action, to a temp layout beside cells/ (reading and
+    # overwriting the same path in one job is unsafe — and writing
+    # elsewhere also avoids a second materialization of `replacement`);
+    # the touched partitions are then swapped in driver-side. A touched
+    # cell whose rows were all removed simply has no temp dir and is
+    # deleted. Not crash-atomic across cells (same as any multi-partition
+    # overwrite): a crash mid-swap leaves a mixed index — re-running the
+    # same delta converges (the update is idempotent: changed ids are
+    # removed by anti-join wherever they live, then re-added once).
+    import uuid as _uuid
+
+    tmp_out = f"{cells_path}.upd-{_uuid.uuid4().hex[:8]}"
+    (
+        replacement.repartition(F.col("cell"))
+        .write.partitionBy("cell")
+        .parquet(tmp_out)
+    )
+    for cell in touched:
+        dst = _os.path.join(cells_path, f"cell={cell}")
+        src = _os.path.join(tmp_out, f"cell={cell}")
+        _shutil.rmtree(dst, ignore_errors=True)
+        if _os.path.isdir(src):
+            _os.rename(src, dst)
+    _shutil.rmtree(tmp_out, ignore_errors=True)
+    return {
+        "touched_cells": len(touched),
+        "upserts": int(n_upserts),
+        "deletes": int(n_deletes),
+    }
+
+
+def update_ivf_index_from_table(
+    table,
+    index_path: str,
+    from_version: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Sync a persisted IVF index with a GinTable of vectors: consume the
+    table's CDC-out delta since ``from_version`` (sources/gintable.py::
+    table_changes — work ∝ changed buckets) and apply it incrementally
+    (``update_ivf_index``). The index serves reads continuously; only
+    changed vectors are reassigned. ``id_col`` is the table's merge key."""
+    from opengin_ingestion_spark.sources.gintable import table_changes
+
+    delta = table_changes(table, from_version, key=id_col)
+    changes = delta.select(
+        F.col(id_col), F.col(vec_col), F.col("_change_type")
+    )
+    return update_ivf_index(changes, index_path, id_col, vec_col)
+
+
 def load_ivf_centroids(index_path: str) -> np.ndarray:
     import json as _json
     import os as _os

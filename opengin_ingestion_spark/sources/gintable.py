@@ -639,7 +639,10 @@ class GinTable:
 
 
 def table_changes(
-    table: "GinTable", from_version: int, to_version: int | None = None
+    table: "GinTable",
+    from_version: int,
+    to_version: int | None = None,
+    key: str = "url",
 ) -> DataFrame:
     """CDC-out: the row-level delta between two snapshots — what a
     downstream incremental consumer reads instead of re-scanning the table
@@ -697,8 +700,8 @@ def table_changes(
     old_keys = table.read(
         snap_from, buckets=changed_buckets, include_internal=True,
         include_heavy=False,
-    ).select("url", SEQ_COL, DELETED_COL)
-    delta = new_state.join(old_keys, ["url", SEQ_COL, DELETED_COL], "left_anti")
+    ).select(key, SEQ_COL, DELETED_COL)
+    delta = new_state.join(old_keys, [key, SEQ_COL, DELETED_COL], "left_anti")
     # the join moved its keys to the front — restore canonical schema order
     delta = delta.select(
         *[f.name for f in table.schema(snap_to, include_internal=True).fields]

@@ -205,6 +205,174 @@ def test_ivf_persisted_index_matches_inline(spark, tmp_path):
     assert np.array_equal(cent, fresh)
 
 
+def _clustered_corpus(spark, seed=13, n=160, n_centers=8, dim=16):
+    rng = np.random.RandomState(seed)
+    centers = rng.standard_normal((n_centers, dim)) * 4
+    rows = []
+    for i in range(n):
+        c = centers[i % n_centers]
+        rows.append((i, [float(x) for x in (c + 0.3 * rng.standard_normal(dim))]))
+    return (
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>"),
+        centers,
+        rng,
+    )
+
+
+def _cells_state(spark, idx):
+    """(vec_id, cell, vec-tuple) set of the persisted cells layout."""
+    rows = spark.read.parquet(f"{idx}/cells").collect()
+    return {(r["vec_id"], int(r["cell"]), tuple(r["embedding"])) for r in rows}
+
+
+def test_incremental_ivf_update_equals_direct_assignment(spark, tmp_path):
+    """update_ivf_index applied to a delta (deletes + moved vectors + new
+    ids) leaves the cells layout EXACTLY equal to assigning the updated
+    corpus under the same persisted quantizer — deleted ids gone, moved
+    vectors in their new home cell, untouched rows byte-identical."""
+    from pyspark.sql import functions as F
+
+    from opengin_ingestion_spark.operators.similarity import (
+        _ivf_assign_udf,
+        build_ivf_index,
+        ivf_search,
+        load_ivf_centroids,
+        update_ivf_index,
+    )
+
+    df, centers, rng = _clustered_corpus(spark)
+    idx = str(tmp_path / "ivf_u")
+    build_ivf_index(df, idx, n_centroids=8, seed=42)
+
+    # delta: delete 10 ids; MOVE 10 vectors to a different cluster
+    # (guaranteed cell change); add 10 brand-new ids
+    deletes = [(i, None, "delete") for i in range(0, 20, 2)]
+    moved = [
+        (i, [float(x) for x in (centers[(i + 4) % 8] + 0.3 * rng.standard_normal(16))],
+         "upsert")
+        for i in range(21, 41, 2)
+    ]
+    fresh = [
+        (1000 + i,
+         [float(x) for x in (centers[i % 8] + 0.3 * rng.standard_normal(16))],
+         "upsert")
+        for i in range(10)
+    ]
+    changes = spark.createDataFrame(
+        deletes + moved + fresh,
+        "vec_id long, embedding array<float>, _change_type string",
+    )
+    stats = update_ivf_index(changes, idx)
+    assert stats["touched_cells"] > 0
+    assert stats["upserts"] == 20 and stats["deletes"] == 10
+
+    # expected: assign the UPDATED corpus under the SAME stored centroids
+    changed = {r[0] for r in deletes + moved + fresh}
+    updated = df.filter(~F.col("vec_id").isin(list(changed))).unionByName(
+        changes.filter("_change_type = 'upsert'").select("vec_id", "embedding")
+    )
+    cent = load_ivf_centroids(idx)
+    expected = {
+        (r["vec_id"], int(r["cell"]), tuple(r["embedding"]))
+        for r in updated.select(
+            "vec_id", "embedding",
+            _ivf_assign_udf(cent, 1)(F.col("embedding")).getItem(0).alias("cell"),
+        ).collect()
+    }
+    assert _cells_state(spark, idx) == expected
+
+    # serving sanity: deleted ids never appear as neighbors
+    got = ivf_search(updated.filter("vec_id % 5 = 0"), idx, k=5, n_probe=2).collect()
+    deleted_ids = {i for i, _, _ in deletes}
+    assert all(r["neighbor_id"] not in deleted_ids for r in got)
+
+    # idempotent empty delta
+    empty = changes.limit(0)
+    assert update_ivf_index(empty, idx)["touched_cells"] == 0
+
+
+def test_incremental_ivf_from_gintable_changes(spark, tmp_path):
+    """End-to-end with the lake layer: vectors live in a GinTable, a merge
+    applies upserts + deletes, update_ivf_index_from_table consumes the
+    CDC-out delta — the index then equals a direct assignment of the
+    table's current state under the persisted quantizer."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from opengin_ingestion_spark.operators.merge import merge_batch
+    from opengin_ingestion_spark.operators.similarity import (
+        _ivf_assign_udf,
+        build_ivf_index,
+        load_ivf_centroids,
+        update_ivf_index_from_table,
+    )
+    from opengin_ingestion_spark.sources.gintable import GinTable
+
+    schema = T.StructType([
+        T.StructField("vec_key", T.StringType(), False),
+        T.StructField("ts", T.TimestampType(), False),
+        T.StructField("embedding", T.ArrayType(T.FloatType()), True),
+    ])
+    table = GinTable.create(spark, str(tmp_path / "vecs"), schema, n_buckets=4)
+    df, centers, rng = _clustered_corpus(spark, seed=29, n=120)
+    t0 = dt.datetime(2024, 1, 1)
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "op string, seq long, vec_key string, ts timestamp, "
+                  "embedding array<float>"
+        )
+
+    base_rows = [
+        ("I", i, f"v{r['vec_id']}", t0 + dt.timedelta(seconds=i), r["embedding"])
+        for i, r in enumerate(df.collect())
+    ]
+    merge_batch(table, batch(base_rows), batch_id=0, key="vec_key", ts="ts")
+    v0 = table.current_version()
+    idx = str(tmp_path / "ivf_t")
+    build_ivf_index(
+        table.read().select(F.col("vec_key"), F.col("embedding")),
+        idx, id_col="vec_key", n_centroids=8, seed=42,
+    )
+
+    # second merge: delete 5 keys, move 5 vectors, add 3 new keys
+    t1 = t0 + dt.timedelta(hours=1)
+    upd_rows = (
+        [("D", 1000 + j, f"v{j}", t1, None) for j in range(5)]
+        + [
+            ("U", 1100 + j, f"v{10 + j}",
+             t1, [float(x) for x in (centers[(j + 4) % 8]
+                                     + 0.3 * rng.standard_normal(16))])
+            for j in range(5)
+        ]
+        + [
+            ("I", 1200 + j, f"new{j}",
+             t1, [float(x) for x in (centers[j % 8]
+                                     + 0.3 * rng.standard_normal(16))])
+            for j in range(3)
+        ]
+    )
+    merge_batch(table, batch(upd_rows), batch_id=1, key="vec_key", ts="ts")
+    stats = update_ivf_index_from_table(table, idx, v0, id_col="vec_key")
+    assert stats["upserts"] == 8 and stats["deletes"] == 5
+
+    cent = load_ivf_centroids(idx)
+    expected = {
+        (r["vec_key"], int(r["cell"]), tuple(r["embedding"]))
+        for r in table.read().select(
+            "vec_key", "embedding",
+            _ivf_assign_udf(cent, 1)(F.col("embedding")).getItem(0).alias("cell"),
+        ).collect()
+    }
+    got = {
+        (r["vec_key"], int(r["cell"]), tuple(r["embedding"]))
+        for r in spark.read.parquet(f"{idx}/cells").collect()
+    }
+    assert got == expected
+
+
 def test_embedding_neardup_pairs(spark, vecs):
     """Planted near-identical vectors (cos ≈ 1) are found as near-dup
     pairs; unrelated random vectors are not."""
