@@ -8,10 +8,17 @@ Usage:
     python -m opengin_ingestion_spark.cli metrics <table_path>
     python -m opengin_ingestion_spark.cli gc <table_path> [--delete] [--min-age SECONDS]
     python -m opengin_ingestion_spark.cli compact <table_path> [--max-files N]
+    python -m opengin_ingestion_spark.cli fold <table_path>
     python -m opengin_ingestion_spark.cli rebucket <table_path> --buckets N
+    python -m opengin_ingestion_spark.cli ivf-update <table_path> --index PATH \
+        --from-version N [--id-col vec_id] [--vec-col embedding]
 
 `info`/`history`/`metrics`/`gc --dry-run` are driver-only (no Spark
-session — they read manifests); `compact` and `gc --delete` spin one up.
+session — they read manifests); the rewrite commands spin one up.
+`fold` switches a quieted table to the read-optimized folded layout
+(join-free reads; see operators/compact.py::fold_heavy_compact).
+`ivf-update` syncs a persisted IVF index with the table's changes since
+--from-version (operators/similarity.py::update_ivf_index_from_table).
 """
 
 from __future__ import annotations
@@ -93,6 +100,32 @@ def cmd_compact(path: str, max_files: int) -> None:
     print(json.dumps({"version": snap["version"], "metrics": snap.get("metrics", {})}))
 
 
+def cmd_fold(path: str) -> None:
+    from opengin_ingestion_spark.operators.compact import fold_heavy_compact
+    from opengin_ingestion_spark.session import get_spark
+
+    spark = get_spark(app_name="fold")
+    t = GinTable.load(spark, path)
+    snap = fold_heavy_compact(t)
+    print(json.dumps({"version": snap["version"], "metrics": snap.get("metrics", {})}))
+
+
+def cmd_ivf_update(
+    path: str, index_path: str, from_version: int, id_col: str, vec_col: str
+) -> None:
+    from opengin_ingestion_spark.operators.similarity import (
+        update_ivf_index_from_table,
+    )
+    from opengin_ingestion_spark.session import get_spark
+
+    spark = get_spark(app_name="ivf_update")
+    t = GinTable.load(spark, path)
+    stats = update_ivf_index_from_table(
+        t, index_path, from_version, id_col=id_col, vec_col=vec_col
+    )
+    print(json.dumps(stats))
+
+
 def cmd_rebucket(path: str, n_buckets: int) -> None:
     from opengin_ingestion_spark.operators.compact import rebucket
     from opengin_ingestion_spark.session import get_spark
@@ -121,9 +154,17 @@ def main(argv: list[str] | None = None) -> None:
     elif cmd == "compact":
         mf = int(args[args.index("--max-files") + 1]) if "--max-files" in args else 4
         cmd_compact(path, mf)
+    elif cmd == "fold":
+        cmd_fold(path)
     elif cmd == "rebucket":
         nb = int(args[args.index("--buckets") + 1])
         cmd_rebucket(path, nb)
+    elif cmd == "ivf-update":
+        idx = args[args.index("--index") + 1]
+        fv = int(args[args.index("--from-version") + 1])
+        idc = args[args.index("--id-col") + 1] if "--id-col" in args else "vec_id"
+        vcc = args[args.index("--vec-col") + 1] if "--vec-col" in args else "embedding"
+        cmd_ivf_update(path, idx, fv, idc, vcc)
     else:
         print(__doc__)
         raise SystemExit(2)

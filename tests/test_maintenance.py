@@ -89,6 +89,49 @@ def test_compact_restores_one_file_per_bucket(spark, fragmented_table):
     assert table.current_version() == v
 
 
+def test_cli_fold(spark, tiny_log, tmp_path, capsys):
+    """`cli fold <table>` switches to the folded layout end-to-end: the
+    commit is a fold_heavy op, heavy files are gone, contents unchanged."""
+    table, _ = replay_changelog(
+        spark, tiny_log["dir"], str(tmp_path / "pages"), n_buckets=8
+    )
+    rows_before = _sorted_rows(table.read(include_internal=True))
+    cli_main(["fold", table.path])
+    out = json.loads(capsys.readouterr().out)
+    assert out["metrics"]["op"] == "fold_heavy"
+    t2 = GinTable.load(spark, table.path)
+    snap = t2.current_snapshot()
+    assert not any(f.get("family") == "heavy" for f in snap["files"])
+    assert all(f["folded"] for f in snap["files"])
+    assert _sorted_rows(t2.read(include_internal=True)) == rows_before
+
+
+def test_cli_ivf_update_arg_parsing(monkeypatch, capsys):
+    """`cli ivf-update` routes its flags to update_ivf_index_from_table
+    (the operator itself is covered in test_similarity.py)."""
+    import opengin_ingestion_spark.cli as cli_mod
+
+    seen = {}
+
+    def fake(path, index_path, from_version, id_col, vec_col):
+        seen.update(
+            path=path, index_path=index_path, from_version=from_version,
+            id_col=id_col, vec_col=vec_col,
+        )
+        print(json.dumps({"touched_cells": 0, "upserts": 0, "deletes": 0}))
+
+    monkeypatch.setattr(cli_mod, "cmd_ivf_update", fake)
+    cli_mod.main([
+        "ivf-update", "/t", "--index", "/idx", "--from-version", "3",
+        "--id-col", "k", "--vec-col", "v",
+    ])
+    json.loads(capsys.readouterr().out)
+    assert seen == {
+        "path": "/t", "index_path": "/idx", "from_version": 3,
+        "id_col": "k", "vec_col": "v",
+    }
+
+
 def test_cli_info_history_gc(fragmented_table, capsys):
     path = fragmented_table.path
     cli_main(["info", path])

@@ -156,6 +156,31 @@ def test_folded_read_plan_is_join_free_scan(spark, tiny_log, tmp_path):
     )
 
 
+def test_ivf_update_lookup_prunes_vectors(spark, tmp_path):
+    """update_ivf_index's old-home lookup (changed ids → cells) must be a
+    column-pruned scan: the semi join needs only (id, cell), so ReadSchema
+    on the index layout must not include the embedding column — at corpus
+    scale the lookup reads two slim columns, never the vectors."""
+    from opengin_ingestion_spark.operators.similarity import build_ivf_index
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, idx, n_centroids=8, seed=42)
+    changed = emb.select("vec_id").limit(10)
+    existing = spark.read.parquet(f"{idx}/cells")
+    lookup = existing.join(changed, "vec_id", "leftsemi").select("cell").distinct()
+    fmt = _formatted(lookup)
+    # `cell` is the layout's partition column (not in ReadSchema); the
+    # cells-scan line is the one reading vec_id
+    cell_reads = [
+        ln for ln in fmt.splitlines()
+        if "ReadSchema" in ln and "vec_id" in ln
+    ]
+    assert cell_reads and all("embedding" not in ln for ln in cell_reads), (
+        f"old-home lookup must not read the vector column: {cell_reads}"
+    )
+
+
 def test_gap_sessions_single_shuffle(spark):
     """Sessionization: ONE hash exchange on the session key feeds both
     window passes (lag, running sum) and the final aggregate — the windows
