@@ -32,7 +32,7 @@ def fragmented_buckets(table: GinTable, max_files_per_bucket: int = 4) -> set[in
     return {b for (b, _fam), n in counts.items() if n > max_files_per_bucket}
 
 
-def rebucket(table: GinTable, new_n_buckets: int, key: str = "url") -> dict:
+def rebucket(table: GinTable, new_n_buckets: int, key: str | None = None) -> dict:
     """Change the table's bucket count: rewrite EVERY row under the new
     ``pmod(xxhash64(key), new_n_buckets)`` scheme in one copy-on-write
     commit. Use when a table sized by the first batch outgrows its buckets
@@ -108,12 +108,16 @@ def fold_heavy_compact(table: GinTable) -> dict:
     (/root/reference/python/src/opengin/tracer/agents/exporter.py:71-84).
     """
     snap = table.current_snapshot()
+    if not table.heavy_columns(snap):
+        # no column-family split: reads are already join-free — nothing
+        # to fold (plain fragmentation is compact()'s job)
+        return snap
     buckets = foldable_buckets(table, snap)
     if not buckets:
         return snap
     rows = (
         table.read(snap, buckets=buckets, include_internal=True)
-        .withColumn(BUCKET_COL, table.bucket_expr("url", snap))
+        .withColumn(BUCKET_COL, table.bucket_expr(snap=snap))
         .repartition(len(buckets), F.col(BUCKET_COL))
     )
     # full rows (heavy inline) as ONE folded base file per bucket; the
@@ -156,7 +160,7 @@ def compact(
         return snap
     rows = (
         table.read(snap, buckets=buckets, include_internal=True)
-        .withColumn(BUCKET_COL, table.bucket_expr("url", snap))
+        .withColumn(BUCKET_COL, table.bucket_expr(snap=snap))
         .repartition(len(buckets), F.col(BUCKET_COL))
     )
     # full rewrite of the fragmented buckets: both families; stale heavy

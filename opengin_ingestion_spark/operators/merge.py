@@ -77,8 +77,8 @@ def merge_batch(
     table: GinTable,
     batch_df: DataFrame,
     batch_id: int,
-    key: str = "url",
-    ts: str = "warc_ts",
+    key: str | None = None,
+    ts: str | None = None,
     seq: str = "seq",
     pandas_transform: Callable | None = None,
     transform_fields: list[T.StructField] | None = None,
@@ -87,6 +87,11 @@ def merge_batch(
 ) -> MergeResult:
     """Apply one RAW change batch (columns: op 'I'|'U'|'D'; seq; key; ts;
     payload...) to the table. Idempotent per ``batch_id``.
+
+    ``key``/``ts`` default to the table's manifest-declared merge identity
+    (GinTable.create(key_col=..., ts_col=...)); pass them only when the
+    BATCH names the columns differently from the table (rare — prefer a
+    schema_mapping rename).
 
     ``pandas_transform(pdf) -> pdf`` is the vectorized derive stage (e.g.
     HTML→text extraction); it runs bucket-locally on final winner rows only
@@ -103,6 +108,10 @@ def merge_batch(
         from opengin_ingestion_spark.operators.schema_map import apply_schema_mapping
 
         batch_df = apply_schema_mapping(batch_df, schema_mapping)
+    if key is None:
+        key = table.key_col()
+    if ts is None:
+        ts = table.ts_col()
     last_err: Exception | None = None
     for _attempt in range(max_retries):
         try:
@@ -364,16 +373,16 @@ def expire_tombstones(table: GinTable, watermark_ts) -> dict:
     """
     snap = table.current_snapshot()
     expirable = F.coalesce(F.col(DELETED_COL), F.lit(False)) & (
-        F.col("warc_ts") < F.lit(watermark_ts)
+        F.col(table.ts_col(snap)) < F.lit(watermark_ts)
     )
-    # bucket discovery needs only (url, warc_ts, _deleted) — include_heavy=
+    # bucket discovery needs only (key, ts, _deleted) — include_heavy=
     # False keeps this scan off the payload family (Catalyst cannot
     # eliminate the heavy left-join on its own: it lacks the uniqueness
     # guarantee our manifest invariant provides)
     buckets_df = (
         table.read(snap, include_internal=True, include_heavy=False)
         .filter(expirable)
-        .select(table.bucket_expr("url", snap).alias(BUCKET_COL))
+        .select(table.bucket_expr(snap=snap).alias(BUCKET_COL))
         .distinct()
     )
     touched = {r[0] for r in buckets_df.collect()}
@@ -382,7 +391,7 @@ def expire_tombstones(table: GinTable, watermark_ts) -> dict:
     kept = (
         table.read(snap, buckets=touched, include_internal=True)
         .filter(~expirable)
-        .withColumn(BUCKET_COL, table.bucket_expr("url", snap))
+        .withColumn(BUCKET_COL, table.bucket_expr(snap=snap))
     )
     # full rewrite: both families replaced — this also purges the expired
     # tombstones' (and any superseded winners') stale heavy rows

@@ -161,8 +161,18 @@ class GinTable:
         schema: T.StructType,
         n_buckets: int = 64,
         heavy_columns: tuple[str, ...] | list[str] | None = None,
+        key_col: str = "url",
+        ts_col: str = "warc_ts",
     ) -> "GinTable":
         """Create an empty table (snapshot v0). Fails if it exists.
+
+        ``key_col`` / ``ts_col`` declare the table's MERGE identity: the
+        upsert key (also the bucketing column) and the event-time column
+        of the LWW ordering. They are recorded in the manifest so every
+        maintenance op (compact, fold, rebucket, expire, table_changes)
+        and the merge itself agree on ONE definition — callers no longer
+        thread them through. Manifests from older revisions lack the keys
+        and default to url/warc_ts (the pages layout).
 
         ``heavy_columns`` declares a column-family split: those columns are
         stored in a separate "heavy" file family keyed by ``_seq``. A MERGE
@@ -185,10 +195,19 @@ class GinTable:
                 f"heavy_columns not in schema: {unknown} "
                 f"(schema has {schema.fieldNames()})"
             )
+        if key_col not in schema.fieldNames():
+            raise ValueError(f"key_col '{key_col}' not in schema")
+        # ts_col is only exercised by merge/expiry; a ts-less table (pure
+        # append/analytic layout) may keep the default — but an EXPLICIT
+        # ts_col must exist
+        if ts_col != "warc_ts" and ts_col not in schema.fieldNames():
+            raise ValueError(f"ts_col '{ts_col}' not in schema")
         snap = {
             "version": 0,
             "parent": None,
             "n_buckets": n_buckets,
+            "key_col": key_col,
+            "ts_col": ts_col,
             "schema_version": 1,
             "schemas": {"1": json.loads(stored.json())},
             "column_families": {"heavy": heavy},
@@ -293,18 +312,30 @@ class GinTable:
         snap = snap or self.current_snapshot()
         return snap.get("column_families", {}).get("heavy", [])
 
+    def key_col(self, snap: dict | None = None) -> str:
+        """The table's merge key / bucketing column (manifest-declared;
+        pre-r4 manifests default to the pages layout's url)."""
+        snap = snap or self.current_snapshot()
+        return snap.get("key_col", "url")
+
+    def ts_col(self, snap: dict | None = None) -> str:
+        """The table's event-time column for LWW ordering / watermarks."""
+        snap = snap or self.current_snapshot()
+        return snap.get("ts_col", "warc_ts")
+
     def bucket_expr(
         self,
-        key_col: str = "url",
+        key_col: str | None = None,
         snap: dict | None = None,
         n_buckets: int | None = None,
     ):
         """Bucket assignment expression — MUST be used identically on write
         and on merge probe so pruning is sound (rebucket passes the NEW
         count through ``n_buckets`` so there is exactly one definition of
-        the hash)."""
+        the hash). ``key_col=None`` resolves the manifest-declared key."""
         n = n_buckets if n_buckets is not None else self.n_buckets(snap)
-        return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n)).cast("int")
+        key = key_col if key_col is not None else self.key_col(snap)
+        return F.pmod(F.xxhash64(F.col(key)), F.lit(n)).cast("int")
 
     # -- read path ----------------------------------------------------------
 
@@ -562,6 +593,8 @@ class GinTable:
             "version": parent["version"] + 1,
             "parent": parent["version"],
             "n_buckets": new_n_buckets or parent["n_buckets"],
+            "key_col": parent.get("key_col", "url"),
+            "ts_col": parent.get("ts_col", "warc_ts"),
             "schema_version": schema_version,
             "schemas": schemas,
             "column_families": parent.get("column_families", {"heavy": []}),
@@ -642,7 +675,7 @@ def table_changes(
     table: "GinTable",
     from_version: int,
     to_version: int | None = None,
-    key: str = "url",
+    key: str | None = None,
 ) -> DataFrame:
     """CDC-out: the row-level delta between two snapshots — what a
     downstream incremental consumer reads instead of re-scanning the table
@@ -658,6 +691,8 @@ def table_changes(
     """
     snap_to = table.snapshot(to_version) if to_version is not None else table.current_snapshot()
     snap_from = table.snapshot(from_version)
+    if key is None:
+        key = table.key_col(snap_to)
     if snap_from["version"] > snap_to["version"]:
         raise ValueError(
             f"reversed version range: from={snap_from['version']} > "

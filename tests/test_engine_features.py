@@ -251,3 +251,67 @@ def test_tail_maintenance_bounds_files_and_tombstones(spark, tmp_path):
     # without expiry there would be ~p_delete*n_urls tombstones; expiry at
     # watermark=max_ts leaves only those from the final unmaintained batches
     assert n_tomb < 0.2 * 300 * 0.5, f"tombstones not expired: {n_tomb}"
+
+
+def test_manifest_declared_merge_identity(spark, tmp_path):
+    """A table created with key_col/ts_col != the pages defaults works
+    through merge, delete-tombstoning, expire, compact, fold and rebucket
+    with NO key/ts arguments anywhere — the manifest is the single source
+    of the merge identity (pre-r4 manifests default to url/warc_ts)."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from opengin_ingestion_spark.operators.compact import (
+        compact,
+        fold_heavy_compact,
+        rebucket,
+    )
+    from opengin_ingestion_spark.operators.merge import (
+        expire_tombstones,
+        merge_batch,
+    )
+
+    schema = T.StructType([
+        T.StructField("device_id", T.StringType(), False),
+        T.StructField("seen_at", T.TimestampType(), False),
+        T.StructField("reading", T.DoubleType(), True),
+    ])
+    table = GinTable.create(
+        spark, str(tmp_path / "dev"), schema, n_buckets=4,
+        key_col="device_id", ts_col="seen_at",
+    )
+    assert table.key_col() == "device_id" and table.ts_col() == "seen_at"
+    t0 = dt.datetime(2024, 6, 1)
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "op string, seq long, device_id string, "
+                  "seen_at timestamp, reading double"
+        )
+
+    merge_batch(table, batch(
+        [("I", i, f"d{i % 20}", t0 + dt.timedelta(minutes=i), float(i))
+         for i in range(60)]
+    ), batch_id=0)
+    assert table.read().count() == 20  # LWW per device
+    # deletes + a late out-of-order event that must NOT resurrect
+    merge_batch(table, batch(
+        [("D", 100, "d3", t0 + dt.timedelta(hours=2), None)]
+    ), batch_id=1)
+    merge_batch(table, batch(
+        [("U", 99, "d3", t0 + dt.timedelta(minutes=5), 123.0)]
+    ), batch_id=2)
+    assert table.read().filter("device_id = 'd3'").count() == 0
+    # identity survives every commit
+    assert table.current_snapshot()["key_col"] == "device_id"
+    # expire uses the declared ts_col
+    expire_tombstones(table, t0 + dt.timedelta(hours=3))
+    internal = table.read(include_internal=True).toPandas()
+    assert not internal["_deleted"].fillna(False).any()
+    before = sorted(map(tuple, table.read().collect()))
+    compact(table, max_files_per_bucket=1)
+    fold_heavy_compact(table)  # no heavy family: plain single-file rewrite
+    rebucket(table, 8)
+    assert table.current_snapshot()["key_col"] == "device_id"
+    assert sorted(map(tuple, table.read().collect())) == before

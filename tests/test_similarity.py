@@ -315,7 +315,12 @@ def test_incremental_ivf_from_gintable_changes(spark, tmp_path):
         T.StructField("ts", T.TimestampType(), False),
         T.StructField("embedding", T.ArrayType(T.FloatType()), True),
     ])
-    table = GinTable.create(spark, str(tmp_path / "vecs"), schema, n_buckets=4)
+    # manifest-declared merge identity: maintenance ops and merges below
+    # pass NO key/ts arguments — they resolve from the table
+    table = GinTable.create(
+        spark, str(tmp_path / "vecs"), schema, n_buckets=4,
+        key_col="vec_key", ts_col="ts",
+    )
     df, centers, rng = _clustered_corpus(spark, seed=29, n=120)
     t0 = dt.datetime(2024, 1, 1)
 
@@ -329,7 +334,7 @@ def test_incremental_ivf_from_gintable_changes(spark, tmp_path):
         ("I", i, f"v{r['vec_id']}", t0 + dt.timedelta(seconds=i), r["embedding"])
         for i, r in enumerate(df.collect())
     ]
-    merge_batch(table, batch(base_rows), batch_id=0, key="vec_key", ts="ts")
+    merge_batch(table, batch(base_rows), batch_id=0)
     v0 = table.current_version()
     idx = str(tmp_path / "ivf_t")
     build_ivf_index(
@@ -354,7 +359,7 @@ def test_incremental_ivf_from_gintable_changes(spark, tmp_path):
             for j in range(3)
         ]
     )
-    merge_batch(table, batch(upd_rows), batch_id=1, key="vec_key", ts="ts")
+    merge_batch(table, batch(upd_rows), batch_id=1)
     stats = update_ivf_index_from_table(table, idx, v0, id_col="vec_key")
     assert stats["upserts"] == 8 and stats["deletes"] == 5
 
