@@ -341,6 +341,27 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", fingerprint("text").alias("fp"))
 
 
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/shape signals per document: duplicate-word
+    fraction (1 − distinct/total tokens — →1 for boilerplate / generation
+    loops) and mean token length. Pure length/split/double arithmetic —
+    bit-identical in DuckDB."""
+    from opengin_ingestion_spark.functions.textstats import (
+        distinct_word_count,
+        dup_word_fraction,
+        mean_word_len,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_words"),
+        distinct_word_count("text").alias("n_distinct_words"),
+        dup_word_fraction("text").alias("dup_word_frac"),
+        mean_word_len("text").alias("mean_word_len"),
+    )
+
+
 def q_doc_name_sanitize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P6 filename sanitization (reference exporter.py:55-57) on exporty
     names synthesized from documents — exercises the engine's
@@ -742,6 +763,38 @@ def q_cdc_replay_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read().select("url", "warc_ts", "text", "lang")
 
 
+def q_cdc_fold_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fold correctness through the driver gate: the SAME replay fixture,
+    folded into a read-optimized COPY (compact(fold_heavy=True) — heavy
+    columns inline, join-free read plan, tests/test_plans.py), must
+    hash-match the SAME DuckDB oracle as cdc_replay_pages. The copy keeps
+    the flagship's split-layout table (and its measured plan) untouched;
+    GinTable manifests use table-relative paths, so a copied tree is fully
+    self-contained."""
+    import shutil
+    import tempfile
+
+    from opengin_ingestion_spark.operators.compact import fold_heavy_compact
+    from opengin_ingestion_spark.plans.replay import replay_changelog
+    from opengin_ingestion_spark.sources.gintable import GinTable
+
+    log, table_path = _replay_fixture_paths()
+    replay_changelog(spark, log, table_path, n_buckets=16)
+    fold_path = table_path + "_folded"
+    if not GinTable.exists(fold_path):
+        base = os.path.dirname(table_path)
+        tmp = tempfile.mkdtemp(dir=base, prefix="fold_tmp_")
+        shutil.copytree(table_path, os.path.join(tmp, "t"))
+        try:
+            os.rename(os.path.join(tmp, "t"), fold_path)
+        except OSError:  # another driver won the publish race
+            pass
+        shutil.rmtree(tmp, ignore_errors=True)
+    ft = GinTable.load(spark, fold_path)
+    fold_heavy_compact(ft)  # idempotent: no-op once fully folded
+    return ft.read().select("url", "warc_ts", "text", "lang")
+
+
 def _replay_oracle_sql() -> str:
     """DuckDB twin of the full CDC replay (see q_cdc_replay_pages).
 
@@ -849,6 +902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tokens": q_doc_tokens,
         "doc_quality": q_doc_quality,
         "doc_fingerprint": q_doc_fingerprint,
+        "doc_repetition": q_doc_repetition,
         "docs_exact_dedup": q_docs_exact_dedup,
         "doc_name_sanitize": q_doc_name_sanitize,
         "media_mime_stats": q_media_mime_stats,
@@ -862,6 +916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fragment_aggregation": q_fragment_aggregation,
         "parse_responses": q_parse_responses,
         "cdc_replay_pages": q_cdc_replay_pages,
+        "cdc_fold_pages": q_cdc_fold_pages,
         "lsh_ann_topk": q_lsh_ann_topk,
         # rows-only (genuinely non-SQL-expressible: the signatures are
         # Spark-internal murmur3 / xxhash64 — each covered by exact local
@@ -1063,6 +1118,17 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "doc_fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
+        "doc_repetition": """
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_words,
+                   len(list_distinct(string_split(text, ' '))) AS n_distinct_words,
+                   1.0 - CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                       / CAST(len(string_split(text, ' ')) AS DOUBLE) AS dup_word_frac,
+                   (CAST(length(text) AS DOUBLE)
+                      - (CAST(len(string_split(text, ' ')) AS DOUBLE) - 1.0))
+                     / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_word_len
+            FROM documents
+        """,
         "docs_exact_dedup": """
             SELECT min(doc_id) AS keep_id, md5(text) AS text_fp
             FROM documents GROUP BY text
@@ -1232,6 +1298,9 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "cdc_replay_pages": _replay_oracle_sql(),
+        # fold preserves content exactly — the folded copy answers to the
+        # very same oracle as the split-layout flagship
+        "cdc_fold_pages": _replay_oracle_sql(),
         "lsh_ann_topk": _lsh_ann_oracle_sql(),
         # frame count/timestamps are pure functions of the duration rule:
         # n = min(max_frames, max(1, duration_ms // every_ms))

@@ -60,6 +60,31 @@ def fingerprint(text: str | Column = "text") -> Column:
     return F.md5(c)
 
 
+def distinct_word_count(text: str | Column = "text") -> Column:
+    """Distinct whitespace-token count (the numerator of the Gopher-style
+    duplicate-word-fraction repetition signal)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.array_distinct(F.split(c, " ")))
+
+
+def dup_word_fraction(text: str | Column = "text") -> Column:
+    """1 − distinct/total words: ~0 for varied prose, →1 for degenerate
+    repetition (boilerplate, keyword stuffing, generation loops) — a
+    standard pre-training quality filter signal. IEEE double division,
+    bit-identical across engines."""
+    c = F.col(text) if isinstance(text, str) else text
+    total = token_count(c).cast("double")
+    return F.lit(1.0) - distinct_word_count(c).cast("double") / total
+
+
+def mean_word_len(text: str | Column = "text") -> Column:
+    """Mean token length over a single-space-separated corpus:
+    (chars − separators) / words. Length/split arithmetic only."""
+    c = F.col(text) if isinstance(text, str) else text
+    words = token_count(c).cast("double")
+    return (F.length(c).cast("double") - (words - F.lit(1.0))) / words
+
+
 def bpe_ish_token_count(text: str | Column = "text") -> Column:
     """Approximate BPE token count: words + digits + punctuation marks each
     count as a token, long words count extra per 6 chars (a public
