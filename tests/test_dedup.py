@@ -146,8 +146,29 @@ def test_dedup_groups_matches_union_find(spark):
     from opengin_ingestion_spark.operators.dedup import dedup_groups
 
     pdf = spark.createDataFrame(pairs, "id_a long, id_b long")
+    # driver fast path (edge count under the default limit)
     got = {r["node"]: r["group"] for r in dedup_groups(pdf).collect()}
     assert got == expect
+    # distributed iterative path, forced (driver_edge_limit=0): must be
+    # identical — the two strategies are interchangeable by contract
+    got_dist = {
+        r["node"]: r["group"]
+        for r in dedup_groups(pdf, driver_edge_limit=0).collect()
+    }
+    assert got_dist == expect
+
+
+def test_dedup_groups_nonconvergence_raises(spark):
+    """The distributed path must refuse to return silently-wrong groups
+    when max_iter < the graph diameter (forced past the fast path)."""
+    import pytest
+
+    from opengin_ingestion_spark.operators.dedup import dedup_groups
+
+    chain = [(i, i + 1) for i in range(30)]  # diameter 30
+    pdf = spark.createDataFrame(chain, "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_groups(pdf, max_iter=3, driver_edge_limit=0)
 
 
 def test_dedup_keep_exemplars(spark, corpus):
