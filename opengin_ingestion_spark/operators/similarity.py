@@ -514,9 +514,13 @@ def update_ivf_index(
     cells_path = _os.path.join(index_path, "cells")
     spark = changes.sparkSession
 
-    upserts = changes.filter(F.col(change_type_col) == "upsert").select(
-        F.col(id_col), F.col(vec_col)
-    )
+    # an upsert with a NULL vector removes the id from the index (its id
+    # is in changed_ids so old copies are dropped; nothing is re-added) —
+    # and a null must never reach the assignment UDF (np.stack would
+    # throw mid-batch)
+    upserts = changes.filter(
+        (F.col(change_type_col) == "upsert") & F.col(vec_col).isNotNull()
+    ).select(F.col(id_col), F.col(vec_col))
     changed_ids = changes.select(id_col).distinct().localCheckpoint(eager=True)
 
     assigned_new = upserts.select(

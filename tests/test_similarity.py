@@ -290,6 +290,15 @@ def test_incremental_ivf_update_equals_direct_assignment(spark, tmp_path):
     empty = changes.limit(0)
     assert update_ivf_index(empty, idx)["touched_cells"] == 0
 
+    # an upsert with a NULL vector = removal (must not crash the
+    # assignment UDF): the id disappears from the index
+    null_up = spark.createDataFrame(
+        [(21, None, "upsert")],
+        "vec_id long, embedding array<float>, _change_type string",
+    )
+    update_ivf_index(null_up, idx)
+    assert 21 not in {v for v, _, _ in _cells_state(spark, idx)}
+
 
 def test_incremental_ivf_from_gintable_changes(spark, tmp_path):
     """End-to-end with the lake layer: vectors live in a GinTable, a merge
