@@ -333,6 +333,39 @@ def test_mixed_folded_split_read(spark, tmp_path):
     )
 
 
+def test_fold_preserves_time_travel(spark, tiny_log, tmp_path):
+    """Snapshot isolation across the layout change: a pre-fold snapshot
+    still reads through its own split-layout files (and its heavy files
+    remain referenced by that manifest), returning identical content to
+    the folded head."""
+    import pandas as pd
+
+    from tests.oracle import normalize_engine_state
+
+    table, _ = replay_changelog(
+        spark, tiny_log["dir"], str(tmp_path / "pages"), n_buckets=8,
+        group_files=2,
+    )
+    v_before = table.current_version()
+    old_snap = table.snapshot(v_before)
+    before = normalize_engine_state(
+        table.read(old_snap, include_internal=True).toPandas()
+    )
+    compact(table, fold_heavy=True)
+    # the old snapshot still lists heavy files and reads via the join
+    assert any(
+        f.get("family") == "heavy" for f in table.snapshot(v_before)["files"]
+    )
+    time_travel = normalize_engine_state(
+        table.read(table.snapshot(v_before), include_internal=True).toPandas()
+    )
+    head = normalize_engine_state(
+        table.read(include_internal=True).toPandas()
+    )
+    pd.testing.assert_frame_equal(time_travel, before)
+    pd.testing.assert_frame_equal(head, before)
+
+
 def test_external_heavy_append_drops_invariant(spark, tiny_log, tmp_path):
     """A commit that appends heavy-family files WITHOUT claiming the
     invariant (an external writer) drops heavy_seq_unique to False, and
