@@ -42,6 +42,25 @@ def validation_reason() -> F.Column:
     )
 
 
+def is_safe_path(base_path: str, target_path: str) -> bool:
+    """Path-containment predicate (reference P9,
+    /root/reference/python/src/opengin/server/api.py:235-249): True iff
+    ``target_path``, after resolving symlinks and relative segments,
+    lies inside ``base_path``. Used wherever the engine accepts a
+    user-supplied filesystem location relative to a sandbox root —
+    export packaging (plans/export.py::export_zip), dead-letter dirs,
+    index paths — so a crafted `../` or symlink can never escape it.
+    """
+    import os as _os
+
+    real_base = _os.path.realpath(base_path)
+    real_target = _os.path.realpath(target_path)
+    try:
+        return _os.path.commonpath([real_base, real_target]) == real_base
+    except ValueError:  # different drives / mixed abs-rel on some OSes
+        return False
+
+
 def split_dead_letter(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(valid, dead) split. ``dead`` carries a `reason` column."""
     tagged = df.withColumn("_reason", validation_reason())

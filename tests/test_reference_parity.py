@@ -119,3 +119,48 @@ def test_strip_fences_only_when_fenced(spark):
     )
     got = [r[0] for r in df.select(strip_fences("s")).collect()]
     assert got == ["[1]", "[2]", "[3]"]
+
+
+def test_export_zip_and_path_safety(spark, tmp_path):
+    """S9 zip export + P9 path-containment parity: the archive carries
+    every export artifact under relative names, names collision-free like
+    the other sinks, publishes atomically, and refuses symlinked members
+    that resolve outside the export tree."""
+    import os
+    import zipfile
+
+    from opengin_ingestion_spark.operators.validate import is_safe_path
+    from opengin_ingestion_spark.plans.export import export_zip
+
+    out = str(tmp_path / "run")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    export_csv(df, out, "t1", metadata={"source": "x"})
+    export_csv(df, out, "t2")
+
+    z1 = export_zip(out, str(tmp_path / "dl"))
+    with zipfile.ZipFile(z1) as zf:
+        names = set(zf.namelist())
+        assert {"t1.csv", "t1_metadata.json", "t2.csv"} <= names
+        with zf.open("t1.csv") as fh:
+            body = fh.read().decode()
+        assert "id" in body and "a" in body
+    # collision-free second archive
+    z2 = export_zip(out, str(tmp_path / "dl"))
+    assert os.path.basename(z1) == "run.zip"
+    assert os.path.basename(z2) == "run_1.zip"
+    # no torn archives: the temp file is gone
+    assert not any(f.endswith(".tmp") for f in os.listdir(tmp_path / "dl"))
+
+    # P9 predicate semantics (reference api.py:235-249)
+    assert is_safe_path(out, os.path.join(out, "t1.csv"))
+    assert not is_safe_path(out, str(tmp_path / "elsewhere.txt"))
+    assert not is_safe_path(out, os.path.join(out, "..", "escape.txt"))
+
+    # a symlink inside the export tree pointing OUTSIDE it must abort
+    secret = tmp_path / "secret.txt"
+    secret.write_text("not yours")
+    os.symlink(str(secret), os.path.join(out, "link.csv"))
+    import pytest
+
+    with pytest.raises(ValueError, match="resolves outside"):
+        export_zip(out, str(tmp_path / "dl2"))
