@@ -16,6 +16,12 @@ from opengin_ingestion_spark.sources.changelog import (  # noqa: F401
     make_html,
     make_shuffled_variant,
 )
+from opengin_ingestion_spark.sources.download import (  # noqa: F401
+    UnsafeURL,
+    download_url,
+    fetch_urls,
+    validate_url,
+)
 from opengin_ingestion_spark.sources.gintable import (  # noqa: F401
     GinTable,
     choose_n_buckets,
