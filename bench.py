@@ -224,7 +224,7 @@ def bench_ivf_incremental(spark) -> dict[str, float]:
     path (update_ivf_index pairing table_changes). The sf embeddings table
     is too small to show the asymmetry (a rebuild of 2k vectors is
     trivially cheap and 16 cells are all touched by any delta), so this
-    entry uses a deterministic 200k-vector clustered corpus with a
+    entry uses a deterministic 500k-vector clustered corpus with a
     LOCALIZED ~1.5% delta: the update rewrites only the delta's few home
     cells while the rebuild re-assigns and rewrites everything — the
     actual production trade at index sizes where it matters."""

@@ -352,7 +352,17 @@ def dedup_groups(
         .localCheckpoint(eager=True)  # reused every round / collected once
     )
     n_edges = edges.count()
-    if n_edges <= driver_edge_limit:
+    # the budget is BYTES, not just edge count: 2M edges of 200-char URL
+    # ids is ~GBs of driver dicts, not the ~50 MB the numeric case costs.
+    # One agg over the checkpointed edges estimates the id payload; the
+    # 4x factor covers Python object + dict overhead.
+    fast = n_edges <= driver_edge_limit
+    if fast and n_edges and isinstance(edges.schema["u"].dataType, T.StringType):
+        id_bytes = edges.agg(
+            F.sum(F.length("u") + F.length("v")).alias("b")
+        ).collect()[0]["b"]
+        fast = (id_bytes or 0) * 4 <= 512 * 1024 * 1024
+    if fast:
         spark = pairs.sparkSession
         node_type = edges.schema["u"].dataType
         out_schema = T.StructType(

@@ -444,6 +444,16 @@ def build_ivf_index(
         corpus, id_col, vec_col, n_centroids, train_sample, seed=seed
     )
     _os.makedirs(index_path, exist_ok=True)
+    # REBUILD case: retract the old commit marker BEFORE touching cells/ —
+    # otherwise a crash mid-overwrite (or a reader racing the rebuild)
+    # observes the STALE meta.json (valid quantizer) over missing/partial
+    # cells assigned under a different quantizer. With the marker gone,
+    # concurrent loads fail cleanly until the new marker lands last.
+    meta_final = _os.path.join(index_path, "meta.json")
+    try:
+        _os.unlink(meta_final)
+    except FileNotFoundError:
+        pass
     meta = {
         "id_col": id_col,
         "vec_col": vec_col,
@@ -475,7 +485,7 @@ def build_ivf_index(
     tmp = _os.path.join(index_path, "meta.json.tmp")
     with open(tmp, "w") as fh:
         _json.dump(meta, fh)
-    _os.replace(tmp, _os.path.join(index_path, "meta.json"))
+    _os.replace(tmp, meta_final)
     return meta
 
 
@@ -517,10 +527,19 @@ def update_ivf_index(
     # an upsert with a NULL vector removes the id from the index (its id
     # is in changed_ids so old copies are dropped; nothing is re-added) —
     # and a null must never reach the assignment UDF (np.stack would
-    # throw mid-batch)
-    upserts = changes.filter(
-        (F.col(change_type_col) == "upsert") & F.col(vec_col).isNotNull()
-    ).select(F.col(id_col), F.col(vec_col))
+    # throw mid-batch). An id appearing in MULTIPLE upsert rows (e.g. two
+    # concatenated micro-deltas) must land exactly ONE index entry: pick
+    # the lexicographically-max vector per id — arbitrary but
+    # deterministic (table_changes deltas are one-row-per-id by
+    # construction; callers wanting a specific winner should pre-reduce
+    # with their own version column).
+    upserts = (
+        changes.filter(
+            (F.col(change_type_col) == "upsert") & F.col(vec_col).isNotNull()
+        )
+        .groupBy(id_col)
+        .agg(F.max(vec_col).alias(vec_col))
+    )
     changed_ids = changes.select(id_col).distinct().localCheckpoint(eager=True)
 
     assigned_new = upserts.select(

@@ -21,9 +21,13 @@ from pyspark.sql import functions as F
 VALID_OPS = ("I", "U", "D")
 MAX_URL_LEN = 8192
 
-# url scheme allowlist — the engine-side version of the reference's SSRF
-# guard (only http(s) pages belong in a web-crawl change log)
-_URL_OK = F.col("url").rlike(r"^https?://")
+
+def _url_ok() -> F.Column:
+    """url scheme allowlist — the engine-side version of the reference's
+    SSRF guard (only http(s) pages belong in a web-crawl change log).
+    Built lazily: Column construction needs an active session, and this
+    module also hosts session-free helpers (is_safe_path)."""
+    return F.col("url").rlike(r"^https?://")
 
 
 def validation_reason() -> F.Column:
@@ -31,7 +35,7 @@ def validation_reason() -> F.Column:
     return (
         F.when(F.col("url").isNull(), "null_url")
         .when(F.length("url") > MAX_URL_LEN, "url_too_long")
-        .when(~_URL_OK, "bad_url_scheme")
+        .when(~_url_ok(), "bad_url_scheme")
         .when(F.col("seq").isNull() | (F.col("seq") < 0), "bad_seq")
         .when(F.col("warc_ts").isNull(), "null_ts")
         .when(~F.col("op").isin(*VALID_OPS), "bad_op")

@@ -21,6 +21,8 @@ import shutil
 
 from pyspark.sql import DataFrame
 
+from opengin_ingestion_spark.operators.validate import is_safe_path
+
 
 def _collision_free(path_base: str, ext: str) -> str:
     """exporter.py:59-69 semantics: name, name_1, name_2, ..."""
@@ -87,10 +89,6 @@ def export_zip(export_dir: str, out_dir: str, name: str = "run") -> str:
     in distributed parquet/CSV-part form and are never zipped.
     """
     import zipfile
-
-    # lazy: validate.py builds Column expressions at module import, which
-    # needs an active session — export_zip itself is pure driver-side
-    from opengin_ingestion_spark.operators.validate import is_safe_path
 
     if not os.path.isdir(export_dir):
         raise FileNotFoundError(f"no export directory at {export_dir}")

@@ -104,7 +104,20 @@ def download_url(
     validate_url(url, allow_private=allow_private)
     os.makedirs(out_dir, exist_ok=True)
     req = urllib.request.Request(url, method="GET")
-    with urllib.request.urlopen(req, timeout=timeout) as resp:
+
+    # the guard must hold across REDIRECTS too: a public URL answering
+    # '302 Location: http://169.254.169.254/...' would otherwise walk
+    # urllib straight into the address class validate_url rejects — so
+    # every hop re-validates before it is followed
+    class _GuardedRedirect(urllib.request.HTTPRedirectHandler):
+        def redirect_request(self, req, fp, code, msg, headers, newurl):
+            validate_url(newurl, allow_private=allow_private)
+            return super().redirect_request(
+                req, fp, code, msg, headers, newurl
+            )
+
+    opener = urllib.request.build_opener(_GuardedRedirect)
+    with opener.open(req, timeout=timeout) as resp:
         fname = filename or _filename_for(
             url, resp.headers.get("Content-Disposition")
         )
@@ -123,7 +136,11 @@ def download_url(
             # manifest commit's atomic check), bumping the collision
             # counter until it lands: two executors fetching same-named
             # files concurrently can NEVER overwrite each other (a bare
-            # rename() would silently clobber)
+            # rename() would silently clobber). Filesystems without
+            # hard-link support (SMB/CIFS, some FUSE object mounts)
+            # raise OSError on the FIRST attempt — fall back to rename
+            # there (still atomic-publish; only the cross-writer
+            # same-name race loses its guarantee, documented).
             n = 0
             while True:
                 final = _collision_free(os.path.join(out_dir, base), ext)
@@ -134,6 +151,9 @@ def download_url(
                     n += 1
                     if n > 10_000:  # pathological; bail with context
                         raise
+                except OSError:
+                    os.rename(tmp, final)
+                    break
         finally:
             try:
                 os.unlink(tmp)

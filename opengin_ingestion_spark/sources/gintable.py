@@ -195,11 +195,13 @@ class GinTable:
                 f"heavy_columns not in schema: {unknown} "
                 f"(schema has {schema.fieldNames()})"
             )
-        if key_col not in schema.fieldNames():
+        # EXPLICIT identity columns must exist; the url/warc_ts DEFAULTS
+        # are not enforced so pre-r4 callers that pass key/ts at
+        # merge_batch time (overriding the manifest) keep working — a
+        # merge that actually needs a missing column still fails with a
+        # clear unresolved-column error at that point
+        if key_col != "url" and key_col not in schema.fieldNames():
             raise ValueError(f"key_col '{key_col}' not in schema")
-        # ts_col is only exercised by merge/expiry; a ts-less table (pure
-        # append/analytic layout) may keep the default — but an EXPLICIT
-        # ts_col must exist
         if ts_col != "warc_ts" and ts_col not in schema.fieldNames():
             raise ValueError(f"ts_col '{ts_col}' not in schema")
         snap = {

@@ -28,6 +28,11 @@ class _Handler(http.server.BaseHTTPRequestHandler):
         if self.path.startswith("/missing"):
             self.send_error(404, "nope")
             return
+        if self.path.startswith("/redirect-bad"):
+            self.send_response(302)
+            self.send_header("Location", "http://no-such-host.invalid/x")
+            self.end_headers()
+            return
         body = BODY
         self.send_response(200)
         if self.path.startswith("/named"):
@@ -68,6 +73,19 @@ def test_ssrf_guard_semantics(http_base):
         validate_url("http:///nohost", allow_private=True)
     with pytest.raises(UnsafeURL):
         download_url(f"{http_base}/log/a.parquet", "/tmp/never")  # guard on
+
+
+def test_redirect_hops_are_validated(http_base, tmp_path):
+    """The SSRF guard holds across redirects: every 302 Location is
+    re-validated BEFORE it is followed, so a hop the guard rejects aborts
+    the download even when the FIRST url passed validation. (urllib
+    itself already refuses non-http(s)/ftp redirect schemes — our handler
+    adds the address-class/resolution check on http hops.)"""
+    with pytest.raises(UnsafeURL, match="resolve"):
+        download_url(
+            f"{http_base}/redirect-bad/x", str(tmp_path), allow_private=True
+        )
+    assert not list(tmp_path.iterdir()), "nothing may be published"
 
 
 def test_download_naming_and_atomicity(http_base, tmp_path):

@@ -282,6 +282,16 @@ def test_manifest_declared_merge_identity(spark, tmp_path):
         key_col="device_id", ts_col="seen_at",
     )
     assert table.key_col() == "device_id" and table.ts_col() == "seen_at"
+    # back-compat: DEFAULT key/ts on a schema without url/warc_ts still
+    # creates (pre-r4 callers pass their key at merge_batch time); an
+    # EXPLICIT missing identity column fails fast
+    GinTable.create(spark, str(tmp_path / "legacy"), schema, n_buckets=2)
+    import pytest
+
+    with pytest.raises(ValueError, match="key_col 'nope'"):
+        GinTable.create(
+            spark, str(tmp_path / "bad"), schema, n_buckets=2, key_col="nope"
+        )
     t0 = dt.datetime(2024, 6, 1)
 
     def batch(rows):

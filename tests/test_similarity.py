@@ -299,6 +299,19 @@ def test_incremental_ivf_update_equals_direct_assignment(spark, tmp_path):
     update_ivf_index(null_up, idx)
     assert 21 not in {v for v, _, _ in _cells_state(spark, idx)}
 
+    # an id appearing TWICE in one delta (concatenated micro-deltas)
+    # lands exactly one index entry, deterministically
+    va = [1.0] + [0.0] * 15
+    vb = [0.0, 1.0] + [0.0] * 14
+    twice = spark.createDataFrame(
+        [(23, va, "upsert"), (23, vb, "upsert")],
+        "vec_id long, embedding array<float>, _change_type string",
+    )
+    update_ivf_index(twice, idx)
+    rows_23 = [(v, c, e) for v, c, e in _cells_state(spark, idx) if v == 23]
+    assert len(rows_23) == 1
+    assert list(rows_23[0][2]) == [float(x) for x in max(va, vb)]
+
 
 def test_incremental_ivf_from_gintable_changes(spark, tmp_path):
     """End-to-end with the lake layer: vectors live in a GinTable, a merge
