@@ -3,16 +3,15 @@
 ``queries()`` exposes every operator family of the engine
 (SURVEY.md §2) over the driver's read-only testdata tables; each entry with
 an ``oracle_sql()`` twin is exact-matched against DuckDB (row count +
-schema + order-insensitive value hash): 37 of 39 queries — since round 3
+schema + order-insensitive value hash): ALL 41 queries since round 5 —
 that includes the flagship ``cdc_replay_pages`` (the oracle replays the
 same change-log parquet through a DuckDB window query + the regex
 extraction chain), ``lsh_ann_topk`` (seeded hyperplanes injected as a
-literal table), the end-to-end ``curate_decisions`` pipeline, and the
-``media_frame_stats`` multimodal explode. The remaining 2
-(minhash/simhash near-dup) are genuinely
-non-SQL-expressible — their signatures are Spark-internal murmur3/xxhash64
-— and run rows-only here while their recall is verified by the local
-pytest suite against the oracled exact-Jaccard operator.
+literal table), the end-to-end ``curate_decisions`` pipeline, the
+``media_frame_stats`` multimodal explode, and (new in round 5) the
+MinHash and SimHash near-dup pipelines, whose signature schemes are
+md5-based precisely so an independent SQL engine can reproduce them
+hash-for-hash (_minhash_oracle_sql / _simhash_oracle_sql).
 
 Determinism rules used throughout (so value hashes match):
  * double aggregations go through DECIMAL(18,2/4) (exact), final CAST to
@@ -502,12 +501,13 @@ def q_embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """No DuckDB oracle (signatures use Spark-internal murmur3/xxhash64),
-    but NOT unchecked: the exact pair set at sf0.01 is snapshotted in
-    tests/golden/rows_only/minhash_neardup.parquet (re-record after an
-    intentional change: UPDATE_GOLDEN_DATA=1 pytest tests/test_golden.py),
-    and recall is tested against the oracled exact-Jaccard operator in
-    tests/test_dedup.py."""
+    """MinHash+LSH near-dup pairs. DuckDB-oracled since round 5: the
+    default md5 signature scheme (min of md5(md5(shingle)||':i') hex
+    strings, md5 band buckets) is reproduced hash-for-hash by
+    _minhash_oracle_sql — candidates, bucket cap, and est_jaccard all
+    match exactly. Recall vs the exact-Jaccard operator is additionally
+    tested in tests/test_dedup.py; the sf0.01 pair set stays golden-
+    snapshotted (tests/golden/rows_only)."""
     from opengin_ingestion_spark.operators.dedup import minhash_lsh_pairs
 
     docs = _t(spark, sf_dir, "documents")
@@ -515,10 +515,11 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """No DuckDB oracle (FNV-1a over Spark-tokenized features is
-    impractical in SQL); pair set at sf0.01 snapshotted in
-    tests/golden/rows_only/simhash_neardup.parquet (re-record:
-    UPDATE_GOLDEN_DATA=1 pytest tests/test_golden.py)."""
+    """SimHash near-dup pairs. DuckDB-oracled since round 5: the word hash
+    is int(md5hex[:16],16), so _simhash_oracle_sql rebuilds the exact
+    64-bit majority-vote signature nibble-by-nibble in SQL and reproduces
+    the pigeonhole band join and hamming filter. The sf0.01 pair set stays
+    golden-snapshotted (tests/golden/rows_only)."""
     from opengin_ingestion_spark.operators.dedup import simhash_pairs
 
     docs = _t(spark, sf_dir, "documents")
@@ -918,12 +919,140 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay_pages": q_cdc_replay_pages,
         "cdc_fold_pages": q_cdc_fold_pages,
         "lsh_ann_topk": q_lsh_ann_topk,
-        # rows-only (genuinely non-SQL-expressible: the signatures are
-        # Spark-internal murmur3 / xxhash64 — each covered by exact local
-        # recall tests against the oracled exact operators instead)
+        # md5-scheme signatures since round 5 — fully DuckDB-oracled
         "minhash_neardup": q_minhash_neardup,
         "simhash_neardup": q_simhash_neardup,
     }
+
+
+def _minhash_oracle_sql(
+    n_hashes: int = 32, bands: int = 8, threshold: float = 0.5,
+    max_bucket_size: int = 5000,
+) -> str:
+    """Exact DuckDB twin of minhash_lsh_pairs(scheme="md5").
+
+    Reproducible because every hash in the pipeline is md5 over identical
+    byte strings: the i-th minhash is min(md5(md5(shingle)||':i')) (binary
+    min over equal-length lowercase hex = Spark's string min), and the band
+    bucket is md5(concat(band slice)) — so candidate generation, the bucket
+    cap, and est_jaccard = agreeing_slots/n all match slot-for-slot.
+    """
+    r = n_hashes // bands
+    mins = ",\n                   ".join(
+        f"min(md5(h || ':{i}'))" for i in range(n_hashes)
+    )
+    buckets = " || ".join(f"sig[b * {r} + {j + 1}]" for j in range(r))
+    return f"""
+        WITH words AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+            FROM words,
+                 unnest(generate_series(1, greatest(len(w)-2, 1))) AS t(i)
+        ), hashed AS (
+            SELECT doc_id, md5(shingle) AS h FROM sh
+        ), sig AS (
+            SELECT doc_id,
+                   [{mins}] AS sig
+            FROM hashed GROUP BY doc_id
+        ), band_rows AS (
+            SELECT doc_id, sig, b AS band, md5({buckets}) AS bucket
+            FROM sig, unnest(generate_series(0, {bands - 1})) AS t(b)
+        ), capped AS (
+            SELECT * FROM (
+                SELECT *, count(*) OVER (PARTITION BY band, bucket) AS _bn
+                FROM band_rows
+            ) WHERE _bn <= {max_bucket_size}
+        ), cand AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   any_value(a.sig) AS sig_a, any_value(b.sig) AS sig_b
+            FROM capped a JOIN capped b
+              ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, est_jaccard
+        FROM (
+            SELECT id_a, id_b,
+                   CAST(len(list_filter(generate_series(1, {n_hashes}),
+                        i -> sig_a[i] = sig_b[i])) AS DOUBLE)
+                     / {float(n_hashes)} AS est_jaccard
+            FROM cand
+        ) WHERE est_jaccard >= {threshold}
+    """
+
+
+def _simhash_oracle_sql(max_hamming: int = 3, max_bucket_size: int = 5000) -> str:
+    """Exact DuckDB twin of simhash_pairs (md5-derived word hashes).
+
+    The engine's 64-bit word hash is int(md5hex[:16], 16); here each hex
+    nibble p (0 = most significant) is decoded with strpos, bit j (0 = LSB)
+    of the word hash is (nibble[15 - j//4] >> (j%4)) & 1, the per-doc
+    majority vote over ALL word occurrences assembles the signed 64-bit
+    signature (bit 63 contributes the BIGINT min), and the pigeonhole
+    bands are (sig >> 16b) & 0xFFFF — DuckDB's arithmetic >> masked to 16
+    bits equals Spark's shiftright+mask for every operand.
+    """
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+    nibbles = ",\n                   ".join(
+        f"(strpos('0123456789abcdef', substr(h, {p + 1}, 1)) - 1) AS n{p}"
+        for p in range(16)
+    )
+    votes = ",\n                   ".join(
+        f"sum((n{15 - j // 4} >> {j % 4}) & 1) AS s{j}" for j in range(64)
+    )
+    sig_terms = " + ".join(
+        f"(CASE WHEN 2 * s{j} > total THEN {1 << j} ELSE 0 END)"
+        for j in range(63)
+    )
+    sig_expr = (
+        f"(CASE WHEN 2 * s63 > total THEN -9223372036854775807 - 1 "
+        f"ELSE 0 END) + {sig_terms}"
+    )
+    band_keys = ", ".join(
+        f"(sig >> {b * width}) & {(1 << width) - 1} AS k{b}"
+        for b in range(n_bands)
+    )
+    band_union = "\n            UNION ALL\n".join(
+        f"            SELECT doc_id, sig, {b} AS band, k{b} AS key FROM keyed"
+        for b in range(n_bands)
+    )
+    return f"""
+        WITH words AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents
+        ), wh AS (
+            SELECT doc_id, md5(word) AS h FROM words
+        ), nib AS (
+            SELECT doc_id,
+                   {nibbles}
+            FROM wh
+        ), vote AS (
+            SELECT doc_id, count(*) AS total,
+                   {votes}
+            FROM nib GROUP BY doc_id
+        ), sigs AS (
+            SELECT doc_id, CAST({sig_expr} AS BIGINT) AS sig FROM vote
+        ), keyed AS (
+            SELECT doc_id, sig, {band_keys} FROM sigs
+        ), band_rows AS (
+{band_union}
+        ), capped AS (
+            SELECT * FROM (
+                SELECT *, count(*) OVER (PARTITION BY band, key) AS _bn
+                FROM band_rows
+            ) WHERE _bn <= {max_bucket_size}
+        ), cand AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   any_value(a.sig) AS sig_a, any_value(b.sig) AS sig_b
+            FROM capped a JOIN capped b
+              ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+        FROM cand
+        WHERE bit_count(xor(sig_a, sig_b)) <= {max_hamming}
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1302,6 +1431,11 @@ def oracle_sql() -> dict[str, str]:
         # very same oracle as the split-layout flagship
         "cdc_fold_pages": _replay_oracle_sql(),
         "lsh_ann_topk": _lsh_ann_oracle_sql(),
+        # md5-based signature schemes since round 5: the whole MinHash and
+        # SimHash pipelines (signatures, band buckets, caps, thresholds)
+        # are reproduced hash-for-hash in DuckDB
+        "minhash_neardup": _minhash_oracle_sql(),
+        "simhash_neardup": _simhash_oracle_sql(),
         # frame count/timestamps are pure functions of the duration rule:
         # n = min(max_frames, max(1, duration_ms // every_ms))
         "media_frame_stats": """

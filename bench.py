@@ -114,11 +114,22 @@ def bench_cdc_replay(spark, n_events: int, n_urls: int) -> dict[str, float]:
             n_events=n_events, n_urls=n_urls, n_batches=8, seed=42
         )
         generate_changelog(log, spec)  # generation excluded from timing
-        t0 = time.perf_counter()
-        table, results = replay_changelog(
-            spark, log, os.path.join(base, "pages"), n_buckets=64
-        )
-        elapsed = time.perf_counter() - t0
+
+        # best-of-N for the PRIMARY metric: this VM's hypervisor waves vary
+        # identical runs 1.5-3x (NOTES.md), so a best-of-2 replay generated
+        # false round-over-round regression signals; N=4 (BENCH_CDC_RUNS)
+        # makes the reported number a credible steady-state floor. Each run
+        # replays into a fresh table dir — the merge path is measured cold
+        # w.r.t. the table, warm w.r.t. the JVM, like production.
+        cdc_runs = int(os.environ.get("BENCH_CDC_RUNS", 4))
+        elapsed = float("inf")
+        table = results = None
+        for i in range(cdc_runs):
+            t0 = time.perf_counter()
+            table, results = replay_changelog(
+                spark, log, os.path.join(base, f"pages_{i}"), n_buckets=64
+            )
+            elapsed = min(elapsed, time.perf_counter() - t0)
         applied = sum(r.metrics.get("events_in", 0) for r in results)
 
         # downstream read paths over the replayed table:
@@ -142,12 +153,14 @@ def bench_cdc_replay(spark, n_events: int, n_urls: int) -> dict[str, float]:
         # replay's one-merge shape for an apples-to-apples events/s.
         from opengin_ingestion_spark.streaming.tail import supervised_tail
 
-        t0 = time.perf_counter()
-        supervised_tail(
-            spark, log, os.path.join(base, "pages_tail"),
-            os.path.join(base, "ckpt"), n_buckets=64,
-        )
-        tail_elapsed = time.perf_counter() - t0
+        tail_elapsed = float("inf")
+        for i in range(cdc_runs):
+            t0 = time.perf_counter()
+            supervised_tail(
+                spark, log, os.path.join(base, f"pages_tail_{i}"),
+                os.path.join(base, f"ckpt_{i}"), n_buckets=64,
+            )
+            tail_elapsed = min(tail_elapsed, time.perf_counter() - t0)
 
         # fold-heavy compaction: the read-optimized layout — measure the
         # one-off fold, then the join-free read against heavy_read (split)
@@ -159,8 +172,51 @@ def bench_cdc_replay(spark, n_events: int, n_urls: int) -> dict[str, float]:
         t0 = time.perf_counter()
         _run_to_noop(table.read())
         folded_read = time.perf_counter() - t0
+
+        # the fold's OTHER side of the trade: the next merge on a folded
+        # bucket must read the folded file include_heavy=True (it is the
+        # only payload copy) and re-append every surviving payload — vs
+        # the split layout's light-columns-only target read. Same delta
+        # merged onto a split replica (an earlier replay run's table) and
+        # onto the folded table gives the cadence guidance in
+        # docs/PLANS.md its numbers.
+        from opengin_ingestion_spark.operators.merge import merge_batch
+        from opengin_ingestion_spark.plans.replay import (
+            TRANSFORM_FIELDS,
+            pages_pandas_transform,
+        )
+        from opengin_ingestion_spark.sources.gintable import GinTable
+        from opengin_ingestion_spark.sources.reader import read_changelog
+
+        dlog = os.path.join(base, "delta_log")
+        generate_changelog(
+            dlog,
+            ChangeLogSpec(
+                n_events=max(10_000, n_events // 20),
+                n_urls=max(1_000, n_urls // 20), n_batches=1, seed=99,
+            ),
+        )
+        delta_df = read_changelog(spark, dlog)
+        merge_split = None
+        if cdc_runs > 1:  # pages_0 is a distinct split-layout replica
+            split_table = GinTable(spark, os.path.join(base, "pages_0"))
+            t0 = time.perf_counter()
+            merge_batch(
+                split_table, delta_df, batch_id=10_000,
+                pandas_transform=pages_pandas_transform,
+                transform_fields=TRANSFORM_FIELDS,
+            )
+            merge_split = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        merge_batch(
+            table, delta_df, batch_id=10_001,
+            pandas_transform=pages_pandas_transform,
+            transform_fields=TRANSFORM_FIELDS,
+        )
+        fold_then_merge = time.perf_counter() - t0
         return {
             "cdc_replay_sec": round(elapsed, 3),
+            "cdc_runs": cdc_runs,
             "cdc_events_applied": applied,
             "cdc_events_per_sec": round(applied / elapsed, 1),
             "heavy_read_sec": round(heavy_read, 3),
@@ -169,6 +225,10 @@ def bench_cdc_replay(spark, n_events: int, n_urls: int) -> dict[str, float]:
             "tail_events_per_sec": round(applied / tail_elapsed, 1),
             "fold_heavy_sec": round(fold, 3),
             "heavy_read_folded_sec": round(folded_read, 3),
+            "merge_split_sec": (
+                round(merge_split, 3) if merge_split is not None else None
+            ),
+            "fold_then_merge_sec": round(fold_then_merge, 3),
         }
     finally:
         shutil.rmtree(base, ignore_errors=True)
@@ -321,6 +381,9 @@ def main() -> None:
         queries["tail_drain"] = cdc["tail_drain_sec"]
         queries["fold_heavy"] = cdc["fold_heavy_sec"]
         queries["heavy_read_folded"] = cdc["heavy_read_folded_sec"]
+        queries["fold_then_merge"] = cdc["fold_then_merge_sec"]
+        if cdc.get("merge_split_sec") is not None:
+            queries["merge_split"] = cdc["merge_split_sec"]
 
     total = round(sum(queries.values()), 3)
     out = {

@@ -12,6 +12,7 @@ Usage:
     python -m opengin_ingestion_spark.cli rebucket <table_path> --buckets N
     python -m opengin_ingestion_spark.cli ivf-update <table_path> --index PATH \
         --from-version N [--id-col vec_id] [--vec-col embedding]
+    python -m opengin_ingestion_spark.cli ivf-stats <index_path>
 
 `info`/`history`/`metrics`/`gc --dry-run` are driver-only (no Spark
 session — they read manifests); the rewrite commands spin one up.
@@ -126,6 +127,20 @@ def cmd_ivf_update(
     print(json.dumps(stats))
 
 
+def cmd_ivf_stats(index_path: str) -> None:
+    """Driver-only: update-maintained drift stats + the rebuild
+    recommendation (operators/similarity.py::recommend_rebuild) — the
+    periodic-rebuild decision without any corpus scan."""
+    from opengin_ingestion_spark.operators.similarity import (
+        ivf_index_stats,
+        recommend_rebuild,
+    )
+
+    stats = ivf_index_stats(index_path)
+    stats["recommend_rebuild"] = recommend_rebuild(index_path)
+    print(json.dumps(stats))
+
+
 def cmd_rebucket(path: str, n_buckets: int) -> None:
     from opengin_ingestion_spark.operators.compact import rebucket
     from opengin_ingestion_spark.session import get_spark
@@ -159,6 +174,8 @@ def main(argv: list[str] | None = None) -> None:
     elif cmd == "rebucket":
         nb = int(args[args.index("--buckets") + 1])
         cmd_rebucket(path, nb)
+    elif cmd == "ivf-stats":
+        cmd_ivf_stats(path)  # path = the index dir for this command
     elif cmd == "ivf-update":
         idx = args[args.index("--index") + 1]
         fv = int(args[args.index("--from-version") + 1])

@@ -7,17 +7,22 @@ table. Scale posture:
   shape as the reference's name-keyed aggregation
   (/root/reference/python/src/opengin/tracer/agents/aggregator.py:42-84).
 * MinHash+LSH: shingle→minhash→band→bucket-join. Everything is built-in
-  expressions (explode / hash / min / groupBy); the only shuffles are the
+  expressions (explode / md5 / min / groupBy); the only shuffles are the
   signature aggregation and the band-bucket self-join, both on uniformly
   hashed keys (no skew). Candidate pairs are verified by estimated Jaccard
   (signature agreement) — at 100 TB you'd gate a final exact check on the
-  candidates only.
-* SimHash: 64-bit signature via a vectorized pandas UDF (numpy bit ops),
+  candidates only. The default md5 hash scheme is chosen to be
+  reproducible in any SQL engine (the driver's DuckDB oracle recomputes
+  the whole pipeline); a cheaper Spark-internal scheme is one flag away.
+* SimHash: 64-bit signature via a vectorized pandas UDF (numpy bit ops
+  over md5-derived word hashes — same cross-engine reproducibility),
   near-dup = signatures within Hamming distance k, found by pigeonhole
   banding (k+1 bands, exact-match join on at least one band).
 """
 
 from __future__ import annotations
+
+import hashlib
 
 import numpy as np
 import pandas as pd
@@ -96,6 +101,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     n_hashes: int = 32,
     shingle_k: int = 3,
+    scheme: str = "md5",
 ) -> DataFrame:
     """One row per doc: ``sig`` = array of n_hashes minhash values.
 
@@ -103,18 +109,40 @@ def minhash_signatures(
     exploded shingles (n independent `min(...)` aggs) — no per-hash
     shuffle, partial aggregation shrinks hot docs map-side. min() is
     insensitive to duplicate shingles, so the per-doc distinct shuffle is
-    skipped entirely. The variable-length shingle string is hashed ONCE
-    (xxhash64); the n seeded minhashes then re-hash the fixed 8-byte long —
-    ~2× cheaper per row than n string hashes, identical LSH properties
-    (murmur3 over a 64-bit universal hash is still a uniform family).
+    skipped entirely.
+
+    Two hash schemes, identical LSH properties:
+
+    * ``"md5"`` (default) — the i-th minhash is the lexicographic min of
+      ``md5(md5(shingle) || ':' || i)`` hex strings. md5 is a uniform
+      family available verbatim in DuckDB/Trino/Snowflake, so the WHOLE
+      pair computation is reproducible in an independent SQL engine —
+      that's what backs the exact driver oracle (CORRECTNESS gate). The
+      variable-length shingle is digested once; the n seeded re-hashes run
+      over a fixed 35-byte input (one md5 compression round each,
+      JVM-side, inside codegen). Lexicographic min over equal-length
+      lowercase-hex is binary-collation min in both engines.
+    * ``"fast"`` — xxhash64(shingle) once, then n seeded murmur3 re-hashes
+      of the 8-byte long (~2-3× cheaper; Spark-internal hashes, so no
+      cross-engine oracle). Use at the 100 TB tier when reproducibility
+      outside Spark isn't needed; band/est-jaccard semantics are identical.
     """
+    if scheme not in ("md5", "fast"):
+        raise ValueError(f"unknown minhash scheme {scheme!r}")
     df = ensure_min_parallelism(df)
     sh = word_shingles(df, text_col, id_col, k=shingle_k, distinct=False)
-    hashed = sh.select(id_col, F.xxhash64("shingle").alias("_h"))
-    aggs = [
-        F.min(F.hash(F.col("_h"), F.lit(i))).alias(f"h{i}")
-        for i in range(n_hashes)
-    ]
+    if scheme == "md5":
+        hashed = sh.select(id_col, F.md5("shingle").alias("_h"))
+        aggs = [
+            F.min(F.md5(F.concat(F.col("_h"), F.lit(f":{i}")))).alias(f"h{i}")
+            for i in range(n_hashes)
+        ]
+    else:
+        hashed = sh.select(id_col, F.xxhash64("shingle").alias("_h"))
+        aggs = [
+            F.min(F.hash(F.col("_h"), F.lit(i))).alias(f"h{i}")
+            for i in range(n_hashes)
+        ]
     sig = hashed.groupBy(id_col).agg(*aggs)
     return sig.select(
         id_col, F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("sig")
@@ -130,12 +158,19 @@ def minhash_lsh_pairs(
     shingle_k: int = 3,
     threshold: float = 0.7,
     max_bucket_size: int = 5000,
+    scheme: str = "md5",
 ) -> DataFrame:
     """Near-duplicate candidate pairs (id_a < id_b, est_jaccard ≥ threshold).
 
     Banding: split the signature into ``bands`` bands of r = n/bands rows;
     docs sharing ANY band hash are candidates (classic MinHash-LSH, e.g.
     Leskovec et al., Mining of Massive Datasets ch.3 — public knowledge).
+
+    Under the default ``scheme="md5"`` the band bucket is
+    ``md5(concat(band slice))`` — reproducible in DuckDB, so candidate
+    generation (including any astronomically-unlikely md5 bucket collision)
+    is IDENTICAL in the oracle: both engines compute the same bucket for the
+    same band values. ``scheme="fast"`` uses Spark-internal murmur3.
 
     Degenerate buckets (boilerplate / empty docs collapsing to one band
     hash) are dropped above ``max_bucket_size`` members — a bucket that
@@ -145,10 +180,18 @@ def minhash_lsh_pairs(
     (``minhash_band_cap``), never silent.
     """
     r = n_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k)
+    sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k, scheme)
     # lineage barrier before the band self-join (avoids recomputing the
     # shingle explode + n_hashes aggregation once per join side)
     sig = sig.localCheckpoint(eager=True)
+    if scheme == "md5":
+        bucket_of = lambda b: F.md5(  # noqa: E731
+            F.concat(*[F.col("sig")[i] for i in range(b * r, (b + 1) * r)])
+        )
+    else:
+        bucket_of = lambda b: F.hash(  # noqa: E731
+            *[F.col("sig")[i] for i in range(b * r, (b + 1) * r)]
+        )
     band_rows = sig.select(
         F.col(id_col),
         F.col("sig"),
@@ -157,9 +200,7 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.hash(
-                            *[F.col("sig")[i] for i in range(b * r, (b + 1) * r)]
-                        ).alias("bucket"),
+                        bucket_of(b).alias("bucket"),
                     )
                     for b in range(bands)
                 ]
@@ -204,22 +245,27 @@ def minhash_lsh_pairs(
 
 # --- SimHash -------------------------------------------------------------------
 
-def _fnv64(word: str) -> int:
-    """FNV-1a 64-bit (public domain hash)."""
-    h = 0xCBF29CE484222325
-    for ch in word.encode("utf-8"):
-        h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h
+def _md5w64(word: str) -> int:
+    """64-bit word hash = the first 16 hex chars of md5 (big-endian).
+
+    Chosen over FNV-1a because md5 is available verbatim in DuckDB /
+    Trino / Snowflake: ``strtol(substr(md5(w),1,16), 16)`` reproduces this
+    exactly, which makes the whole SimHash pair computation independently
+    SQL-oracle-able (the driver correctness gate). Uniformity is at least
+    as good as FNV's.
+    """
+    return int(hashlib.md5(word.encode("utf-8")).hexdigest()[:16], 16)
 
 
 @F.pandas_udf(T.LongType())
 def simhash64_udf(text: pd.Series) -> pd.Series:
     """64-bit SimHash over whitespace tokens.
 
-    Vectorized per Arrow batch: tokens are exploded once, the FNV hash is
-    computed only per UNIQUE word (natural-language vocabularies are tiny
-    relative to token counts — Zipf again), and bit votes are accumulated
-    with one numpy scatter-add per batch. ~30x the per-row loop.
+    Vectorized per Arrow batch: tokens are exploded once, the md5 word
+    hash is computed only per UNIQUE word (natural-language vocabularies
+    are tiny relative to token counts — Zipf again), and bit votes are
+    accumulated with one numpy scatter-add per batch. ~30x the per-row
+    loop.
     """
     n = len(text)
     out = np.zeros(n, dtype=np.int64)
@@ -232,7 +278,7 @@ def simhash64_udf(text: pd.Series) -> pd.Series:
         return pd.Series(out)
     doc_idx = tokens.index.to_numpy()
     codes, uniques = pd.factorize(tokens.to_numpy())
-    vocab_h = np.fromiter((_fnv64(w) for w in uniques), dtype=np.uint64, count=len(uniques))
+    vocab_h = np.fromiter((_md5w64(w) for w in uniques), dtype=np.uint64, count=len(uniques))
     word_h = vocab_h[codes]
     bits = (
         (word_h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
@@ -329,9 +375,10 @@ def dedup_groups(
     Scale-adaptive, like AQE's runtime join choice: the (checkpointed)
     edge list's size picks the strategy.
 
-    * ≤ ``driver_edge_limit`` oriented edges (the BOUNDED collect — ~50 MB
-      of id pairs at the default): classic union-find on the driver,
-      O(E·α). Near-dup pair sets after banding/capping are usually tiny
+    * ≤ ``driver_edge_limit`` oriented edges AND under a 512 MB driver
+      heap estimate that prices CPython dict/object overhead for numeric
+      and string ids alike (the BOUNDED collect): classic union-find on
+      the driver, O(E·α). Near-dup pair sets after banding/capping are usually tiny
       relative to the corpus, and the iterative path's per-round job
       overhead (join + agg + checkpoint + count, times diameter) dominates
       its actual work there — measured 6s → <1s on a 500-edge graph.
@@ -352,16 +399,25 @@ def dedup_groups(
         .localCheckpoint(eager=True)  # reused every round / collected once
     )
     n_edges = edges.count()
-    # the budget is BYTES, not just edge count: 2M edges of 200-char URL
-    # ids is ~GBs of driver dicts, not the ~50 MB the numeric case costs.
-    # One agg over the checkpointed edges estimates the id payload; the
-    # 4x factor covers Python object + dict overhead.
+    # the budget is BYTES for EVERY id type, not just edge count: the
+    # driver materializes parent/comps dicts plus the output row list, and
+    # CPython object overhead dominates the payload — a dict entry costs
+    # ~100 B before its key even stores a character, so "2M edges" is
+    # ~600 MB of driver heap for plain long ids, not the 32 MB the raw
+    # 8-byte payload suggests. Numeric ids: a fixed ~150 B/endpoint
+    # estimate. String ids: one agg over the checkpointed edges measures
+    # the payload, 4x for object + dict overhead. Either estimate must fit
+    # the 512 MB driver budget or the distributed path takes over.
     fast = n_edges <= driver_edge_limit
-    if fast and n_edges and isinstance(edges.schema["u"].dataType, T.StringType):
-        id_bytes = edges.agg(
-            F.sum(F.length("u") + F.length("v")).alias("b")
-        ).collect()[0]["b"]
-        fast = (id_bytes or 0) * 4 <= 512 * 1024 * 1024
+    if fast and n_edges:
+        if isinstance(edges.schema["u"].dataType, T.StringType):
+            id_bytes = edges.agg(
+                F.sum(F.length("u") + F.length("v")).alias("b")
+            ).collect()[0]["b"]
+            est = (id_bytes or 0) * 4
+        else:
+            est = n_edges * 2 * 150
+        fast = est <= 512 * 1024 * 1024
     if fast:
         spark = pairs.sparkSession
         node_type = edges.schema["u"].dataType

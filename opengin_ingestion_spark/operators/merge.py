@@ -9,12 +9,31 @@ Physical strategy (the scale story — each step sized for 10^10 events):
 
 1. **Touched buckets** from a key-only scan of the raw batch (Catalyst
    prunes every other column off the Parquet read).
-2. **Within-batch winnow** (operators/lww.py::lww_winners_semi): winner
-   seqs via a key-only partial aggregation — the wide html payload never
-   crosses this shuffle, and zipf-hot urls collapse map-side. On a zipfian
-   log this drops ~95% of rows *before* the expensive stage.
-3. **Transform AFTER winnow**: the vectorized extract/validate UDFs run on
-   winners only, not on every superseded revision.
+2. **ONE payload shuffle**: target bucket contents ∪ raw batch rows are
+   hash-repartitioned by url bucket — the same partitioning the bucketed
+   write needs anyway, so it is the merge's only exchange. LWW,
+   tombstoning and the vectorized transform all run partition-locally in
+   one ``mapInPandas`` pass with zero further exchanges, no broadcast
+   build, no driver involvement. (This replaced an earlier design that
+   pre-winnowed the batch with a key-only winner semi-join,
+   ``lww_winners_semi``: the winnow's per-merge broadcast of winner-key
+   sets was measured to anti-scale at high thread counts; the
+   transform-after-winnow saving is preserved — the transform still runs
+   after the partition-local LWW, on final winners only.)
+3. **Memory invariant** (the cost of having no pre-winnow): ALL of a
+   batch's revisions of a url cross the shuffle and land in one pandas
+   partition alongside that bucket's target rows, so
+   ``bucket_parquet_bytes × ~4 (in-memory factor) + batch_slice_bytes``
+   must fit one executor's pandas heap. The bucket side is bounded by
+   ``choose_n_buckets`` (sources/gintable.py:67 — 64 MB on-disk default ≈
+   256 MB in memory); the batch side is bounded by micro-batch sizing
+   (maxFilesPerTrigger in the tail) PLUS the zipf-hot-url worst case: one
+   url dominating a batch concentrates that batch's slice in one
+   partition. Bounded in practice because a micro-batch ≪ table, and
+   stress-tested (tests/test_replay.py::test_merge_hot_url_batch — one
+   url = 20% of the batch); a deployment that must absorb pathological
+   hot batches should add a map-side partial LWW reduce keyed on
+   (bucket, key) before the repartition.
 4. **Bucket pruning**: only the touched buckets' data files are read
    (manifest-level pruning — untouched files are never even listed) and
    rewritten. At B=4096 buckets a 1%-of-urls micro-batch rewrites ~B
@@ -108,10 +127,13 @@ def merge_batch(
         from opengin_ingestion_spark.operators.schema_map import apply_schema_mapping
 
         batch_df = apply_schema_mapping(batch_df, schema_mapping)
-    if key is None:
-        key = table.key_col()
-    if ts is None:
-        ts = table.ts_col()
+    if key is None or ts is None:
+        # ONE manifest read resolves both identity columns (key_col()/
+        # ts_col() each re-parse the snapshot when called bare — measurable
+        # at high merge rates on version-N manifests)
+        _snap = table.current_snapshot()
+        key = key if key is not None else table.key_col(_snap)
+        ts = ts if ts is not None else table.ts_col(_snap)
     last_err: Exception | None = None
     for _attempt in range(max_retries):
         try:

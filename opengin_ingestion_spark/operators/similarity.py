@@ -436,33 +436,39 @@ def build_ivf_index(
 
     Returns the meta dict (also written to ``<index_path>/meta.json``).
     Deterministic: same corpus + seed ⇒ identical index across sessions.
+
+    GENERATIONS (round 5): the cells layout lives in a per-generation
+    directory (``cells-g{N}``) named by ``meta.json``, which is the
+    index's atomic commit pointer. A rebuild (or incremental update)
+    writes a complete NEW generation beside the old one and then
+    atomically replaces meta.json — so a reader that loaded the old meta
+    keeps a fully consistent old layout (its files are never modified),
+    a reader loading after the flip sees the new one, and a crash at ANY
+    point leaves the old generation current (the half-written new dir is
+    unreferenced garbage, GC'd by the next successful writer). The one
+    stale generation preceding the current one is retained as a grace
+    window for in-flight readers; older ones are GC'd. (On an object
+    store the same design holds with a per-cell path manifest instead of
+    directory renames — the pointer flip is the commit either way.)
     """
-    import json as _json
     import os as _os
 
     centroids = train_centroids(
         corpus, id_col, vec_col, n_centroids, train_sample, seed=seed
     )
     _os.makedirs(index_path, exist_ok=True)
-    # REBUILD case: retract the old commit marker BEFORE touching cells/ —
-    # otherwise a crash mid-overwrite (or a reader racing the rebuild)
-    # observes the STALE meta.json (valid quantizer) over missing/partial
-    # cells assigned under a different quantizer. With the marker gone,
-    # concurrent loads fail cleanly until the new marker lands last.
-    meta_final = _os.path.join(index_path, "meta.json")
     try:
-        _os.unlink(meta_final)
+        prev_meta = load_ivf_meta(index_path)
     except FileNotFoundError:
-        pass
-    meta = {
-        "id_col": id_col,
-        "vec_col": vec_col,
-        "n_centroids": int(centroids.shape[0]),
-        "dim": int(centroids.shape[1]),
-        "train_sample": train_sample,
-        "seed": seed,
-        "centroids": centroids.tolist(),
-    }
+        prev_meta = None
+    gen = (prev_meta.get("generation", 0) + 1) if prev_meta else 0
+    cells_rel = f"cells-g{gen}"
+    cells_abs = _os.path.join(index_path, cells_rel)
+    # a crashed earlier writer may have left this generation dir behind;
+    # it is unreferenced (meta still points before it) — clear and reuse
+    import shutil as _shutil
+
+    _shutil.rmtree(cells_abs, ignore_errors=True)
     assigned = corpus.select(
         F.col(id_col),
         F.col(vec_col),
@@ -473,20 +479,60 @@ def build_ivf_index(
         # (tasks × cells) shards — a probe then opens exactly its cells'
         # files, and small-scale read overhead stays O(cells)
         assigned.repartition(F.col("cell"))
-        .write.mode("overwrite")
-        .partitionBy("cell")
-        .parquet(_os.path.join(index_path, "cells"))
+        .write.partitionBy("cell")
+        .parquet(cells_abs)
     )
-    # meta.json is the index's COMMIT MARKER: written (atomically) only
-    # after the cells layout is fully on disk, so a crash mid-build — or a
-    # reader racing an overwrite-rebuild — never observes a meta-complete
-    # index with missing/partial cells (load_ivf_centroids fails cleanly on
-    # absent meta instead of serving an incomplete candidate set)
+    # cell sizes at build time = the drift baseline for recommend_rebuild;
+    # read back column-pruned (cell is the partition column — this touches
+    # footers/dirnames, not vector data)
+    spark = corpus.sparkSession
+    cell_counts = {
+        str(r["cell"]): r["count"]
+        for r in spark.read.parquet(cells_abs).groupBy("cell").count().collect()
+    }
+    meta = {
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "n_centroids": int(centroids.shape[0]),
+        "dim": int(centroids.shape[1]),
+        "train_sample": train_sample,
+        "seed": seed,
+        "centroids": centroids.tolist(),
+        "generation": gen,
+        "cells_rel": cells_rel,
+        "cell_counts": cell_counts,
+        "built_rows": int(sum(cell_counts.values())),
+        "built_cell_counts": cell_counts,
+    }
+    _commit_ivf_meta(index_path, meta)
+    _gc_ivf_generations(
+        index_path,
+        keep={cells_rel} | ({prev_meta["cells_rel"]} if prev_meta and "cells_rel" in prev_meta else {"cells"}),
+    )
+    return meta
+
+
+def _commit_ivf_meta(index_path: str, meta: dict) -> None:
+    """Atomically publish ``meta.json`` — the index's commit pointer:
+    written only after the generation's cells layout is fully on disk."""
+    import json as _json
+    import os as _os
+
     tmp = _os.path.join(index_path, "meta.json.tmp")
     with open(tmp, "w") as fh:
         _json.dump(meta, fh)
-    _os.replace(tmp, meta_final)
-    return meta
+    _os.replace(tmp, _os.path.join(index_path, "meta.json"))
+
+
+def _gc_ivf_generations(index_path: str, keep: set) -> None:
+    """Remove generation dirs not in ``keep`` (current + one stale
+    generation as the in-flight-reader grace window)."""
+    import os as _os
+    import shutil as _shutil
+
+    for name in _os.listdir(index_path):
+        if (name == "cells" or name.startswith("cells-g")) and name not in keep:
+            _shutil.rmtree(_os.path.join(index_path, name), ignore_errors=True)
 
 
 def update_ivf_index(
@@ -509,20 +555,39 @@ def update_ivf_index(
     anywhere — no pruning possible for the lookup, but only the two slim
     columns are read); everything after is ∝ touched cells: their rows are
     re-read, changed ids anti-joined out, re-assigned upserts unioned in,
-    and ONLY those cell partitions rewritten (dynamic partition
-    overwrite). Cells the delta never touches keep their files byte-for-
-    byte. The quantizer is NOT retrained — centroid drift under sustained
-    ingest is the signal for a periodic full rebuild (compare cell-size
-    metrics), same trade as any IVF serving system.
+    and ONLY those cells are physically rewritten — into a NEW generation
+    directory whose untouched cells are hardlinked from the old one
+    (metadata-only, no data copy), committed by one atomic meta.json
+    replace (see build_ivf_index GENERATIONS). Crash-safe (the old
+    generation stays current until the flip) and reader-safe (a reader's
+    loaded generation is never modified; one stale generation is retained
+    as a grace window). The quantizer is NOT retrained — use
+    ``recommend_rebuild`` on the update-maintained cell-size stats to
+    decide when sustained drift warrants a periodic full rebuild.
 
-    Returns {"touched_cells", "upserts", "deletes"} stats.
+    Returns {"touched_cells", "upserts", "deletes", "generation"} stats.
     """
     import os as _os
     import shutil as _shutil
 
-    centroids = load_ivf_centroids(index_path)
-    cells_path = _os.path.join(index_path, "cells")
+    meta = load_ivf_meta(index_path)
+    centroids = np.asarray(meta["centroids"], dtype=np.float64)
+    cells_path = ivf_cells_path(index_path, meta)
     spark = changes.sparkSession
+
+    # fail-fast on unknown change types: a caller feeding Delta-CDF
+    # vocabulary ('insert', 'update_postimage', ...) must get an error,
+    # not a silent anti-join removal of those ids from the index
+    type_rows = changes.groupBy(change_type_col).agg(
+        F.count(F.lit(1)).alias("n")
+    ).collect()
+    unknown_types = {r[0] for r in type_rows} - {"upsert", "delete"}
+    if unknown_types:
+        raise ValueError(
+            f"unknown {change_type_col} values {sorted(map(str, unknown_types))}: "
+            "update_ivf_index consumes table_changes vocabulary "
+            "('upsert' | 'delete') — map other CDC dialects before calling"
+        )
 
     # an upsert with a NULL vector removes the id from the index (its id
     # is in changed_ids so old copies are dropped; nothing is re-added) —
@@ -571,7 +636,10 @@ def update_ivf_index(
     )
     touched = sorted(old_cells | new_cells)
     if not touched:
-        return {"touched_cells": 0, "upserts": 0, "deletes": 0}
+        return {
+            "touched_cells": 0, "upserts": 0, "deletes": 0,
+            "generation": meta.get("generation", 0),
+        }
 
     keep = (
         existing.filter(F.col("cell").isin(touched))
@@ -581,34 +649,68 @@ def update_ivf_index(
     replacement = keep.unionByName(
         assigned_new.select(id_col, vec_col, "cell")
     )
-    # ONE write action, to a temp layout beside cells/ (reading and
-    # overwriting the same path in one job is unsafe — and writing
-    # elsewhere also avoids a second materialization of `replacement`);
-    # the touched partitions are then swapped in driver-side. A touched
-    # cell whose rows were all removed simply has no temp dir and is
-    # deleted. Not crash-atomic across cells (same as any multi-partition
-    # overwrite): a crash mid-swap leaves a mixed index — re-running the
-    # same delta converges (the update is idempotent: changed ids are
-    # removed by anti-join wherever they live, then re-added once).
-    import uuid as _uuid
-
-    tmp_out = f"{cells_path}.upd-{_uuid.uuid4().hex[:8]}"
+    # ONE write action into the NEXT generation dir (reading and
+    # overwriting the same path in one job is unsafe anyway); only the
+    # touched cells materialize there. A touched cell whose rows were all
+    # removed simply has no dir in the new generation.
+    gen = meta.get("generation", 0) + 1
+    new_rel = f"cells-g{gen}"
+    new_abs = _os.path.join(index_path, new_rel)
+    _shutil.rmtree(new_abs, ignore_errors=True)  # crashed-writer leftover
     (
         replacement.repartition(F.col("cell"))
         .write.partitionBy("cell")
-        .parquet(tmp_out)
+        .parquet(new_abs)
     )
-    for cell in touched:
-        dst = _os.path.join(cells_path, f"cell={cell}")
-        src = _os.path.join(tmp_out, f"cell={cell}")
-        _shutil.rmtree(dst, ignore_errors=True)
-        if _os.path.isdir(src):
-            _os.rename(src, dst)
-    _shutil.rmtree(tmp_out, ignore_errors=True)
+    # touched-cell sizes for the drift stats: column-pruned count over the
+    # just-written partitions (footer-level work)
+    try:
+        touched_counts = {
+            str(r["cell"]): r["count"]
+            for r in spark.read.parquet(new_abs).groupBy("cell").count().collect()
+        }
+    except Exception:  # deletes-only delta emptied every touched cell:
+        touched_counts = {}  # the write left no parquet to infer from
+    # hardlink every UNTOUCHED cell's files across (metadata-only: no data
+    # copy, old files immutable — object-store variant would reference the
+    # old paths in a per-cell manifest instead)
+    touched_set = {f"cell={c}" for c in touched}
+    if _os.path.isdir(cells_path):
+        for entry in _os.listdir(cells_path):
+            if not entry.startswith("cell=") or entry in touched_set:
+                continue
+            src_dir = _os.path.join(cells_path, entry)
+            dst_dir = _os.path.join(new_abs, entry)
+            _os.makedirs(dst_dir, exist_ok=True)
+            for fname in _os.listdir(src_dir):
+                _os.link(
+                    _os.path.join(src_dir, fname), _os.path.join(dst_dir, fname)
+                )
+    # update the maintained cell-size stats: touched cells take their new
+    # counts (absent ⇒ emptied ⇒ 0 rows ⇒ dropped), untouched carry over
+    cell_counts = dict(meta.get("cell_counts", meta.get("built_cell_counts", {})))
+    for c in touched:
+        n = touched_counts.get(str(c), 0)
+        if n:
+            cell_counts[str(c)] = n
+        else:
+            cell_counts.pop(str(c), None)
+    new_meta = {
+        **meta,
+        "generation": gen,
+        "cells_rel": new_rel,
+        "cell_counts": cell_counts,
+    }
+    # THE commit: readers before this see the old generation (intact),
+    # readers after see the new one; a crash before this line changes
+    # nothing durable
+    _commit_ivf_meta(index_path, new_meta)
+    _gc_ivf_generations(index_path, keep={new_rel, meta.get("cells_rel", "cells")})
     return {
         "touched_cells": len(touched),
         "upserts": int(n_upserts),
         "deletes": int(n_deletes),
+        "generation": gen,
     }
 
 
@@ -633,13 +735,75 @@ def update_ivf_index_from_table(
     return update_ivf_index(changes, index_path, id_col, vec_col)
 
 
-def load_ivf_centroids(index_path: str) -> np.ndarray:
+def load_ivf_meta(index_path: str) -> dict:
+    """The index's commit pointer: quantizer + current generation +
+    maintained cell-size stats. Raises FileNotFoundError on a never-
+    committed (or mid-first-build) index."""
     import json as _json
     import os as _os
 
     with open(_os.path.join(index_path, "meta.json")) as fh:
-        meta = _json.load(fh)
-    return np.asarray(meta["centroids"], dtype=np.float64)
+        return _json.load(fh)
+
+
+def load_ivf_centroids(index_path: str) -> np.ndarray:
+    return np.asarray(load_ivf_meta(index_path)["centroids"], dtype=np.float64)
+
+
+def ivf_cells_path(index_path: str, meta: dict | None = None) -> str:
+    """Absolute path of the CURRENT generation's cells directory (legacy
+    pre-generation indexes resolve to the old fixed ``cells`` dir)."""
+    import os as _os
+
+    if meta is None:
+        meta = load_ivf_meta(index_path)
+    return _os.path.join(index_path, meta.get("cells_rel", "cells"))
+
+
+def ivf_index_stats(index_path: str) -> dict:
+    """Drift/health stats from the maintained meta (no data scan):
+    total rows, growth since build, and cell-size skew."""
+    meta = load_ivf_meta(index_path)
+    counts = [int(n) for n in meta.get("cell_counts", {}).values()]
+    total = sum(counts)
+    built = int(meta.get("built_rows", 0)) or None
+    mean = (total / len(counts)) if counts else 0.0
+    return {
+        "generation": meta.get("generation", 0),
+        "n_cells": len(counts),
+        "total_rows": total,
+        "built_rows": built,
+        "growth": (total / built) if built else None,
+        "max_cell": max(counts) if counts else 0,
+        "mean_cell": mean,
+        "skew": (max(counts) / mean) if mean else None,
+    }
+
+
+def recommend_rebuild(
+    index_path: str, max_growth: float = 2.0, max_skew: float = 4.0
+) -> bool:
+    """Should the quantizer be retrained (full ``build_ivf_index``) rather
+    than continuing incremental updates? True when either drift signal
+    fires, both computed from update-maintained stats (no corpus scan):
+
+    * **growth**: the corpus outgrew the quantizer's training distribution
+      (total rows > ``max_growth``× rows at build) — centroids trained on
+      a much smaller corpus under-partition it, inflating probe cost;
+    * **skew**: cell sizes degenerated (max cell > ``max_skew``× the mean)
+      — ingest drifted toward regions the quantizer under-covers, so hot
+      cells dominate probe latency and the cap starts dropping candidates.
+
+    Thresholds are policy defaults, not magic: growth 2× halves effective
+    cells-per-row; skew 4× is where the ``max_cell_size`` cap typically
+    starts firing on real distributions.
+    """
+    s = ivf_index_stats(index_path)
+    if s["growth"] is not None and s["growth"] > max_growth:
+        return True
+    if s["skew"] is not None and s["skew"] > max_skew:
+        return True
+    return False
 
 
 def ivf_search(
@@ -661,10 +825,13 @@ def ivf_search(
     |queries| × (n_probe/C) × |corpus|.
 
     ``exclude_self`` drops candidate == query id matches (self-search
-    convention, same as ivf_ann_topk)."""
-    import os as _os
+    convention, same as ivf_ann_topk).
 
-    centroids = load_ivf_centroids(index_path)
+    ONE meta.json read pins this call to one index generation: the files
+    it scans are immutable for that generation's lifetime (current + one
+    grace generation), so searches never race a concurrent update."""
+    meta = load_ivf_meta(index_path)
+    centroids = np.asarray(meta["centroids"], dtype=np.float64)
     spark = queries.sparkSession
     q = queries.select(
         F.col(id_col).alias("q_id"),
@@ -680,7 +847,7 @@ def ivf_search(
     # relying on runtime DPP
     probe_cells = [r["cell"] for r in q.select("cell").distinct().collect()]
     home = (
-        spark.read.parquet(_os.path.join(index_path, "cells"))
+        spark.read.parquet(ivf_cells_path(index_path, meta))
         .filter(F.col("cell").isin(probe_cells))
         .select(
             F.col(id_col).alias("c_id"),
@@ -736,11 +903,11 @@ def ivf_ann_topk(
     (same seed/sample ⇒ same centroids).
     """
     if index_path is not None:
-        centroids = load_ivf_centroids(index_path)
-        import os as _os
+        meta = load_ivf_meta(index_path)
+        centroids = np.asarray(meta["centroids"], dtype=np.float64)
 
         spark = corpus.sparkSession
-        home = spark.read.parquet(_os.path.join(index_path, "cells")).select(
+        home = spark.read.parquet(ivf_cells_path(index_path, meta)).select(
             F.col(id_col).alias("c_id"),
             F.col(vec_col).alias("c_vec"),
             F.col("cell").cast("int").alias("cell"),

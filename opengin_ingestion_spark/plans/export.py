@@ -93,9 +93,17 @@ def export_zip(export_dir: str, out_dir: str, name: str = "run") -> str:
     if not os.path.isdir(export_dir):
         raise FileNotFoundError(f"no export directory at {export_dir}")
     os.makedirs(out_dir, exist_ok=True)
+    real_root = os.path.realpath(export_dir)
+    # out_dir inside export_dir would make the growing .tmp archive get
+    # picked up by its own os.walk and zipped into itself (it WOULD pass
+    # the member containment check — it resolves inside the tree)
+    if is_safe_path(real_root, os.path.realpath(out_dir)):
+        raise ValueError(
+            f"out_dir {out_dir} is inside export_dir {export_dir}: "
+            "the archive would include itself"
+        )
     zip_path = _collision_free(os.path.join(out_dir, name), ".zip")
     tmp = zip_path + ".tmp"
-    real_root = os.path.realpath(export_dir)
     with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
         for root, _dirs, files in os.walk(export_dir):
             for fname in sorted(files):

@@ -4,9 +4,13 @@ Reference behavior (/root/reference/python/src/opengin/tracer/cli.py):
 
 * ``validate_url`` (cli.py:18-46): resolve the hostname, reject URLs
   landing on private / loopback / reserved / multicast addresses (SSRF
-  guard) — reproduced verbatim in :func:`validate_url` (tests exercise a
-  loopback server via ``allow_private=True``, exactly the class the
-  default rejects).
+  guard) — reference semantics, hardened past the reference's
+  resolve-once gethostbyname: ALL resolved addresses (IPv4+IPv6) must
+  pass, and the actual connection is PINNED to a validated address
+  (:func:`_pinned_opener`), closing the DNS-rebinding and dual-stack
+  bypasses the check-then-reconnect pattern leaves open. Tests exercise
+  a loopback server via ``allow_private=True``, exactly the class the
+  default rejects.
 * chunked streaming download with timeout, filename from
   Content-Disposition with URL-path fallback (cli.py:233-282) —
   reproduced in :func:`download_url`, hardened with the P9 containment
@@ -40,11 +44,18 @@ class UnsafeURL(ValueError):
     """URL failed the SSRF guard (reference cli.py:18-46 semantics)."""
 
 
-def validate_url(url: str, allow_private: bool = False) -> None:
-    """Raise :class:`UnsafeURL` unless the URL's host resolves to a
-    public address. ``allow_private=True`` disables the address-class
-    check (tests against a loopback fixture server; trusted-VPC mirrors)
-    — scheme and hostname are still required."""
+def validate_url(url: str, allow_private: bool = False) -> str:
+    """Raise :class:`UnsafeURL` unless EVERY address the URL's host
+    resolves to (both IPv4 and IPv6 — a dual-stack host with a public A
+    record and a restricted AAAA record must not pass) is public.
+    Returns one validated address; :func:`download_url` PINS its TCP
+    connection to it, so a TTL-0 DNS-rebinding answer that flips to
+    169.254.169.254 between this check and connect time never reaches the
+    socket (the classic check/connect TOCTOU the reference's
+    gethostbyname-once guard leaves open). ``allow_private=True``
+    disables the address-class check (tests against a loopback fixture
+    server; trusted-VPC mirrors) — scheme and hostname are still
+    required, and the connection is still pinned."""
     parsed = urlparse(url)
     if parsed.scheme not in ("http", "https"):
         raise UnsafeURL(f"unsupported scheme: {url!r}")
@@ -52,14 +63,72 @@ def validate_url(url: str, allow_private: bool = False) -> None:
     if not hostname:
         raise UnsafeURL(f"invalid URL, no hostname: {url!r}")
     try:
-        ip_str = socket.gethostbyname(hostname)
+        infos = socket.getaddrinfo(hostname, None, type=socket.SOCK_STREAM)
     except socket.gaierror as e:
         raise UnsafeURL(f"could not resolve hostname {hostname}: {e}") from e
-    ip = ipaddress.ip_address(ip_str)
-    if not allow_private and (
-        ip.is_private or ip.is_loopback or ip.is_reserved or ip.is_multicast
-    ):
-        raise UnsafeURL(f"URL resolves to a restricted address: {ip_str}")
+    addrs = [info[4][0] for info in infos]
+    if not addrs:
+        raise UnsafeURL(f"hostname {hostname} resolved to no addresses")
+    if not allow_private:
+        for ip_str in addrs:
+            ip = ipaddress.ip_address(ip_str)
+            if ip.is_private or ip.is_loopback or ip.is_reserved or ip.is_multicast:
+                raise UnsafeURL(
+                    f"URL resolves to a restricted address: {ip_str}"
+                )
+    return addrs[0]
+
+
+def _pinned_opener(pinned: dict, allow_private: bool) -> urllib.request.OpenerDirector:
+    """An opener whose HTTP(S) connections dial the VALIDATED IP from
+    ``pinned`` (hostname → address) instead of re-resolving DNS at connect
+    time, while the Host header, SNI, and certificate verification keep
+    using the real hostname (``self.host`` is untouched — only the TCP
+    connect target changes). Redirect hops re-validate and re-pin."""
+    import http.client
+    import ssl
+
+    class _PinnedHTTPConnection(http.client.HTTPConnection):
+        def connect(self):
+            target = pinned.get(self.host, self.host)
+            self.sock = socket.create_connection(
+                (target, self.port), self.timeout, self.source_address
+            )
+
+    class _PinnedHTTPSConnection(http.client.HTTPSConnection):
+        def connect(self):
+            target = pinned.get(self.host, self.host)
+            sock = socket.create_connection(
+                (target, self.port), self.timeout, self.source_address
+            )
+            ctx = self._context or ssl.create_default_context()
+            self.sock = ctx.wrap_socket(sock, server_hostname=self.host)
+
+    class _PinnedHTTPHandler(urllib.request.HTTPHandler):
+        def http_open(self, req):
+            return self.do_open(_PinnedHTTPConnection, req)
+
+    class _PinnedHTTPSHandler(urllib.request.HTTPSHandler):
+        def https_open(self, req):
+            return self.do_open(_PinnedHTTPSConnection, req)
+
+    # the guard must hold across REDIRECTS too: a public URL answering
+    # '302 Location: http://169.254.169.254/...' would otherwise walk
+    # urllib straight into the address class validate_url rejects — so
+    # every hop re-validates (and re-pins) before it is followed
+    class _GuardedRedirect(urllib.request.HTTPRedirectHandler):
+        def redirect_request(self, req, fp, code, msg, headers, newurl):
+            hop_host = urlparse(newurl).hostname
+            hop_ip = validate_url(newurl, allow_private=allow_private)
+            if hop_host:
+                pinned[hop_host] = hop_ip
+            return super().redirect_request(
+                req, fp, code, msg, headers, newurl
+            )
+
+    return urllib.request.build_opener(
+        _PinnedHTTPHandler, _PinnedHTTPSHandler, _GuardedRedirect
+    )
 
 
 def _filename_for(url: str, content_disposition: str | None) -> str:
@@ -101,22 +170,12 @@ def download_url(
     overwrite."""
     from opengin_ingestion_spark.plans.export import _collision_free
 
-    validate_url(url, allow_private=allow_private)
+    pinned_ip = validate_url(url, allow_private=allow_private)
+    hostname = urlparse(url).hostname
+    pinned = {hostname: pinned_ip} if hostname else {}
     os.makedirs(out_dir, exist_ok=True)
     req = urllib.request.Request(url, method="GET")
-
-    # the guard must hold across REDIRECTS too: a public URL answering
-    # '302 Location: http://169.254.169.254/...' would otherwise walk
-    # urllib straight into the address class validate_url rejects — so
-    # every hop re-validates before it is followed
-    class _GuardedRedirect(urllib.request.HTTPRedirectHandler):
-        def redirect_request(self, req, fp, code, msg, headers, newurl):
-            validate_url(newurl, allow_private=allow_private)
-            return super().redirect_request(
-                req, fp, code, msg, headers, newurl
-            )
-
-    opener = urllib.request.build_opener(_GuardedRedirect)
+    opener = _pinned_opener(pinned, allow_private)
     with opener.open(req, timeout=timeout) as resp:
         fname = filename or _filename_for(
             url, resp.headers.get("Content-Disposition")

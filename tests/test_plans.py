@@ -161,13 +161,16 @@ def test_ivf_update_lookup_prunes_vectors(spark, tmp_path):
     column-pruned scan: the semi join needs only (id, cell), so ReadSchema
     on the index layout must not include the embedding column — at corpus
     scale the lookup reads two slim columns, never the vectors."""
-    from opengin_ingestion_spark.operators.similarity import build_ivf_index
+    from opengin_ingestion_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_cells_path,
+    )
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     idx = str(tmp_path / "ivf")
     build_ivf_index(emb, idx, n_centroids=8, seed=42)
     changed = emb.select("vec_id").limit(10)
-    existing = spark.read.parquet(f"{idx}/cells")
+    existing = spark.read.parquet(ivf_cells_path(idx))
     lookup = existing.join(changed, "vec_id", "leftsemi").select("cell").distinct()
     fmt = _formatted(lookup)
     # `cell` is the layout's partition column (not in ReadSchema); the
@@ -216,3 +219,24 @@ def test_salted_repartition_balances_hot_keys(spark, tiny_log):
     # to the uniform share, and strictly better balanced than plain
     assert max(salted) <= 0.8 * max(plain)  # materially better balanced
     assert max(salted) <= 1.6 * total / n  # near-uniform (tiny-data variance)
+
+
+def test_fetch_urls_is_data_parallel_arrow_stage(spark, tmp_path):
+    """The URL fetch source must be a DISTRIBUTED Arrow-batched Python
+    stage, never a driver loop: the plan is mapInPandas over a
+    round-robin-repartitioned url frame (fetch parallelism = executor
+    parallelism), with zero row-wise Python and no collect before the
+    stage. No network is touched here — the plan is built, not run."""
+    from opengin_ingestion_spark.sources.download import fetch_urls
+
+    urls = [f"http://127.0.0.1:1/never-fetched-{i}" for i in range(20)]
+    df = fetch_urls(spark, urls, str(tmp_path / "dl"))
+    plan = _plan(df)
+    assert "MapInPandas" in plan, plan[:1500]
+    assert "BatchEvalPython" not in plan  # row-wise Python would be 100x
+    fmt = _formatted(df)
+    assert "RoundRobinPartitioning" in fmt or "Exchange" in fmt, (
+        "the url list must be spread across partitions before the fetch"
+    )
+    # dead-letter contract is part of the stage's schema
+    assert set(df.columns) == {"url", "path", "nbytes", "error"}

@@ -164,3 +164,11 @@ def test_export_zip_and_path_safety(spark, tmp_path):
 
     with pytest.raises(ValueError, match="resolves outside"):
         export_zip(out, str(tmp_path / "dl2"))
+    os.unlink(os.path.join(out, "link.csv"))
+
+    # out_dir inside (or equal to) export_dir would zip the growing
+    # archive into itself — refused up front
+    with pytest.raises(ValueError, match="include itself"):
+        export_zip(out, os.path.join(out, "zips"))
+    with pytest.raises(ValueError, match="include itself"):
+        export_zip(out, out)

@@ -134,3 +134,34 @@ def test_expire_tombstones(spark, tiny_log, tmp_path):
     internal_after = table.read(include_internal=True)
     assert internal_after.filter(F.coalesce(F.col("_deleted"), F.lit(False))).count() == 0
     assert sorted(table.read().collect()) == user_before
+
+
+def test_merge_hot_url_batch(spark, tmp_path):
+    """Memory-invariant stress (merge.py module doc, step 3): a zipf-hot
+    log whose rank-1 url dominates each batch (s=2.5 → the top url carries
+    well over 20% of all events) concentrates that batch's entire slice in
+    ONE pandas partition of the bucket shuffle. The merge must stay
+    correct — partition-local LWW picks the exact oracle winner for the
+    hot url — and the concentration must be bounded by batch size, not
+    blow up the executor."""
+    from opengin_ingestion_spark.sources.changelog import (
+        ChangeLogSpec,
+        generate_changelog,
+    )
+    from tests.oracle import read_log_pandas
+
+    d = str(tmp_path / "hotlog")
+    spec = ChangeLogSpec(
+        n_events=20_000, n_urls=200, n_batches=4, seed=7, zipf_s=2.5
+    )
+    generate_changelog(d, spec)
+    log = read_log_pandas(d)
+    hot_frac = log["url"].value_counts(normalize=True).iloc[0]
+    assert hot_frac >= 0.20, f"fixture not hot enough ({hot_frac:.2f})"
+
+    table, results = replay_changelog(
+        spark, d, str(tmp_path / "pages"), n_buckets=8, group_files=1
+    )
+    assert not any(r.skipped for r in results)
+    engine = table.read(include_internal=True).toPandas()
+    assert_states_equal(engine, oracle_final_state(d))

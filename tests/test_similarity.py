@@ -220,8 +220,11 @@ def _clustered_corpus(spark, seed=13, n=160, n_centers=8, dim=16):
 
 
 def _cells_state(spark, idx):
-    """(vec_id, cell, vec-tuple) set of the persisted cells layout."""
-    rows = spark.read.parquet(f"{idx}/cells").collect()
+    """(vec_id, cell, vec-tuple) set of the CURRENT generation's cells
+    layout (resolved through meta.json, like every reader)."""
+    from opengin_ingestion_spark.operators.similarity import ivf_cells_path
+
+    rows = spark.read.parquet(ivf_cells_path(idx)).collect()
     return {(r["vec_id"], int(r["cell"]), tuple(r["embedding"])) for r in rows}
 
 
@@ -393,9 +396,11 @@ def test_incremental_ivf_from_gintable_changes(spark, tmp_path):
             _ivf_assign_udf(cent, 1)(F.col("embedding")).getItem(0).alias("cell"),
         ).collect()
     }
+    from opengin_ingestion_spark.operators.similarity import ivf_cells_path
+
     got = {
         (r["vec_key"], int(r["cell"]), tuple(r["embedding"]))
-        for r in spark.read.parquet(f"{idx}/cells").collect()
+        for r in spark.read.parquet(ivf_cells_path(idx)).collect()
     }
     assert got == expected
 
@@ -412,3 +417,149 @@ def test_embedding_neardup_pairs(spark, vecs):
         assert (i, 100 + i) in pairs and pairs[(i, 100 + i)] > 0.99
     # random 16-dim gaussians essentially never reach cos 0.98
     assert len(pairs) == 10
+
+
+def test_ivf_update_rejects_unknown_change_types(spark, tmp_path):
+    """Delta-CDF vocabulary ('insert', 'update_postimage', ...) must fail
+    fast, not silently anti-join those ids out of the index."""
+    import pytest
+
+    from opengin_ingestion_spark.operators.similarity import (
+        build_ivf_index,
+        update_ivf_index,
+    )
+
+    df, _, _ = _clustered_corpus(spark, seed=31, n=40)
+    idx = str(tmp_path / "ivf_badtype")
+    build_ivf_index(df, idx, n_centroids=4, seed=42)
+    bad = spark.createDataFrame(
+        [(1, [0.0] * 16, "insert")],
+        "vec_id long, embedding array<float>, _change_type string",
+    )
+    with pytest.raises(ValueError, match="unknown _change_type"):
+        update_ivf_index(bad, idx)
+    # index untouched: same generation as after the build
+    from opengin_ingestion_spark.operators.similarity import load_ivf_meta
+
+    assert load_ivf_meta(idx)["generation"] == 0
+
+
+def test_ivf_generation_commit_torn_update_invisible(spark, tmp_path):
+    """Crash-atomicity of the generation design: a writer that dies BEFORE
+    the meta.json flip (simulated by a half-written next-generation dir)
+    leaves readers on the old generation with a fully consistent layout;
+    re-running the same delta converges and GCs the garbage."""
+    import os
+
+    from opengin_ingestion_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_cells_path,
+        ivf_search,
+        load_ivf_meta,
+        update_ivf_index,
+    )
+
+    df, centers, rng = _clustered_corpus(spark, seed=37, n=80)
+    idx = str(tmp_path / "ivf_torn")
+    build_ivf_index(df, idx, n_centroids=4, seed=42)
+    before = _cells_state(spark, idx)
+
+    # simulate the torn writer: the next generation dir exists, partially
+    # filled, but meta.json was never flipped
+    torn = os.path.join(idx, "cells-g1")
+    os.makedirs(os.path.join(torn, "cell=0"))
+    with open(os.path.join(torn, "cell=0", "garbage.parquet"), "wb") as fh:
+        fh.write(b"not parquet")
+
+    meta = load_ivf_meta(idx)
+    assert meta["generation"] == 0, "torn dir must not be visible"
+    assert _cells_state(spark, idx) == before
+    # search still serves the committed generation
+    assert ivf_search(df.limit(5), idx, k=3).count() > 0
+
+    # a real update now reuses/clears the torn dir and commits atomically
+    delta = spark.createDataFrame(
+        [(0, [float(x) for x in centers[1]], "upsert")],
+        "vec_id long, embedding array<float>, _change_type string",
+    )
+    stats = update_ivf_index(delta, idx)
+    assert stats["generation"] == 1
+    assert load_ivf_meta(idx)["cells_rel"] == "cells-g1"
+    assert ivf_cells_path(idx).endswith("cells-g1")
+    assert 0 in {v for v, _, _ in _cells_state(spark, idx)}
+
+
+def test_ivf_update_reader_grace_window(spark, tmp_path):
+    """Reader-safety: a DataFrame resolved against the PRE-update
+    generation still collects correctly after one update (its files are
+    hardlinked/retained — never modified), and the stale generation is
+    GC'd only after the NEXT update."""
+    import os
+
+    from opengin_ingestion_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_cells_path,
+        update_ivf_index,
+    )
+
+    df, centers, rng = _clustered_corpus(spark, seed=41, n=80)
+    idx = str(tmp_path / "ivf_grace")
+    build_ivf_index(df, idx, n_centroids=4, seed=42)
+    old_path = ivf_cells_path(idx)
+    old_reader = spark.read.parquet(old_path)
+    n_before = old_reader.count()
+
+    def delta(i):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in centers[i % 4]], "upsert")],
+            "vec_id long, embedding array<float>, _change_type string",
+        )
+
+    update_ivf_index(delta(0), idx)
+    # grace window: the old generation dir is retained through ONE update
+    assert os.path.isdir(old_path)
+    assert old_reader.count() == n_before  # in-flight reader unharmed
+
+    update_ivf_index(delta(1), idx)
+    assert not os.path.isdir(old_path)  # GC'd after the next commit
+    assert ivf_cells_path(idx).endswith("cells-g2")
+
+
+def test_ivf_recommend_rebuild_signals(spark, tmp_path):
+    """Drift stats: fresh index → no rebuild; growth past the threshold
+    (upserting 3x the built corpus) → rebuild recommended; stats maintained
+    incrementally with no corpus scan."""
+    from opengin_ingestion_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_stats,
+        recommend_rebuild,
+        update_ivf_index,
+    )
+
+    df, centers, rng = _clustered_corpus(spark, seed=43, n=60)
+    idx = str(tmp_path / "ivf_drift")
+    build_ivf_index(df, idx, n_centroids=4, seed=42)
+    s0 = ivf_index_stats(idx)
+    assert s0["built_rows"] == 60 and s0["total_rows"] == 60
+    assert not recommend_rebuild(idx)
+
+    grow = spark.createDataFrame(
+        [
+            (10_000 + i,
+             [float(x) for x in (centers[i % 4] + 0.3 * rng.standard_normal(16))],
+             "upsert")
+            for i in range(130)
+        ],
+        "vec_id long, embedding array<float>, _change_type string",
+    )
+    update_ivf_index(grow, idx)
+    s1 = ivf_index_stats(idx)
+    assert s1["total_rows"] == 190
+    assert s1["growth"] > 3.0
+    assert recommend_rebuild(idx)  # growth signal fires
+    # a rebuild resets the baseline
+    from opengin_ingestion_spark.operators.similarity import ivf_cells_path
+
+    full = spark.read.parquet(ivf_cells_path(idx)).select("vec_id", "embedding")
+    build_ivf_index(full, idx, n_centroids=4, seed=42)
+    assert not recommend_rebuild(idx)
