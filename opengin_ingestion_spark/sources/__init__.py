@@ -31,3 +31,4 @@ from opengin_ingestion_spark.sources.reader import (  # noqa: F401
     read_changelog,
     read_changelog_stream,
 )
+from opengin_ingestion_spark.sources.upload import UploadServer  # noqa: F401
