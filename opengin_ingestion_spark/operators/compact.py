@@ -89,7 +89,27 @@ def foldable_buckets(table: GinTable, snap: dict | None = None) -> set[int]:
     return out
 
 
-def fold_heavy_compact(table: GinTable) -> dict:
+def idle_buckets(
+    table: GinTable, idle_versions: int = 5, snap: dict | None = None
+) -> set[int]:
+    """Buckets whose live files were ALL written at least ``idle_versions``
+    commits ago — the fold-cadence selector (docs/PLANS.md): fold cold
+    buckets while hot ones keep the split layout's cheap merges. Pure
+    manifest arithmetic (each live file's path embeds its commit version),
+    no data scan, no history walk."""
+    import re
+
+    snap = snap or table.current_snapshot()
+    cur = snap["version"]
+    last_touch: dict[int, int] = {}
+    for f in snap["files"]:
+        m = re.search(r"commit-(\d{8})-", f["path"])
+        v = int(m.group(1)) if m else 0
+        last_touch[f["bucket"]] = max(last_touch.get(f["bucket"], 0), v)
+    return {b for b, v in last_touch.items() if cur - v >= idle_versions}
+
+
+def fold_heavy_compact(table: GinTable, buckets: set[int] | None = None) -> dict:
     """Fold heavy columns back into single per-bucket base files — the
     read-optimized layout for tables whose merge churn has quieted: a
     fully folded table's reads are JOIN-FREE (plan-asserted in
@@ -97,6 +117,13 @@ def fold_heavy_compact(table: GinTable) -> dict:
     write-amplification win. The inverse trade of the column-family split:
     one full rewrite of the remaining split buckets now, zero ``_seq``
     co-shuffles on every read after.
+
+    ``buckets`` restricts the fold to a subset — compose with
+    ``idle_buckets`` for the cadence policy (fold buckets untouched for N
+    commits, e.g. from the tail's inline maintenance hook):
+    ``fold_heavy_compact(t, buckets=idle_buckets(t, 5))``. Mixed tables
+    read correctly (folded buckets scan join-free, split ones keep the
+    `_seq` join — gintable.read unions the two paths).
 
     Work ∝ unfolded buckets (idempotent: a second call is a no-op commit
     skip). A later MERGE touching a folded bucket transparently re-splits
@@ -112,7 +139,8 @@ def fold_heavy_compact(table: GinTable) -> dict:
         # no column-family split: reads are already join-free — nothing
         # to fold (plain fragmentation is compact()'s job)
         return snap
-    buckets = foldable_buckets(table, snap)
+    foldable = foldable_buckets(table, snap)
+    buckets = foldable if buckets is None else (foldable & set(buckets))
     if not buckets:
         return snap
     rows = (
@@ -135,9 +163,9 @@ def fold_heavy_compact(table: GinTable) -> dict:
             "files_written": len(new_files),
         },
         expected_parent=snap["version"],
-        # no heavy-family files exist for the folded buckets afterwards;
-        # untouched buckets were already folded (no heavy rows either) —
-        # the invariant is preserved trivially
+        # folded buckets end with zero heavy-family files; buckets left
+        # split (subset fold) keep their heavy files untouched — either
+        # way no heavy _seq is duplicated by this rewrite
         heavy_seq_unique=snap.get("heavy_seq_unique", False),
     )
 

@@ -32,8 +32,10 @@ Physical strategy (the scale story — each step sized for 10^10 events):
    partition. Bounded in practice because a micro-batch ≪ table, and
    stress-tested (tests/test_replay.py::test_merge_hot_url_batch — one
    url = 20% of the batch); a deployment that must absorb pathological
-   hot batches should add a map-side partial LWW reduce keyed on
-   (bucket, key) before the repartition.
+   hot batches passes ``merge_batch(..., hot_key_prereduce=True)`` — a
+   map-side partial LWW reduce that collapses each input split's
+   revisions of a key to one row before the shuffle (equivalence-tested;
+   off by default because it costs an extra Arrow round-trip).
 4. **Bucket pruning**: only the touched buckets' data files are read
    (manifest-level pruning — untouched files are never even listed) and
    rewritten. At B=4096 buckets a 1%-of-urls micro-batch rewrites ~B
@@ -103,6 +105,7 @@ def merge_batch(
     transform_fields: list[T.StructField] | None = None,
     max_retries: int = 3,
     schema_mapping=None,
+    hot_key_prereduce: bool = False,
 ) -> MergeResult:
     """Apply one RAW change batch (columns: op 'I'|'U'|'D'; seq; key; ts;
     payload...) to the table. Idempotent per ``batch_id``.
@@ -111,6 +114,17 @@ def merge_batch(
     (GinTable.create(key_col=..., ts_col=...)); pass them only when the
     BATCH names the columns differently from the table (rare — prefer a
     schema_mapping rename).
+
+    ``hot_key_prereduce=True`` adds a MAP-SIDE partial LWW reduce before
+    the bucket shuffle: each input partition keeps only its per-key
+    (ts, seq)-max row, so a url that dominates the batch crosses the
+    exchange as ≤ one row PER INPUT SPLIT instead of its whole revision
+    stream — the escape hatch for the module-doc step-3 memory invariant
+    when a batch is pathologically hot. Exactly the same final state
+    (max is associative; the partition-local winner feeds the same
+    global partition-local LWW), tested equal on a zipf-hot log. OFF by
+    default: it pays one extra Arrow round-trip of the batch payload,
+    which is a net loss on ordinary zipfian batches.
 
     ``pandas_transform(pdf) -> pdf`` is the vectorized derive stage (e.g.
     HTML→text extraction); it runs bucket-locally on final winner rows only
@@ -139,7 +153,7 @@ def merge_batch(
         try:
             return _merge_once(
                 table, batch_df, batch_id, key, ts, seq,
-                pandas_transform, transform_fields,
+                pandas_transform, transform_fields, hot_key_prereduce,
             )
         except CommitConflict as e:  # concurrent writer won — recompute on top
             last_err = e
@@ -155,6 +169,7 @@ def _merge_once(
     seq: str,
     pandas_transform: Callable | None,
     transform_fields: list[T.StructField] | None,
+    hot_key_prereduce: bool = False,
 ) -> MergeResult:
     import os as _os
 
@@ -279,6 +294,24 @@ def _merge_once(
     # anti-scale at high thread counts.)
     combined = target.select(*updates.columns).unionByName(updates)
     combined = combined.withColumn(BUCKET_COL, table.bucket_expr(key, snap))
+    if hot_key_prereduce:
+        # map-side partial LWW (see merge_batch doc): per input split keep
+        # only the per-key (ts, seq, from_target)-max row. Partial max
+        # feeds the identical global reduce below — same winner, but a
+        # hot key's superseded revisions never cross the exchange.
+        pre_schema = combined.schema
+
+        def partial_lww(batches):
+            import pandas as pd  # executor-side
+
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                yield pdf.sort_values(
+                    [ts, SEQ_COL, FROM_TARGET_COL], kind="mergesort"
+                ).drop_duplicates(subset=[key], keep="last")
+
+        combined = combined.mapInPandas(partial_lww, schema=pre_schema)
     bucketed = combined.repartition(len(touched), F.col(BUCKET_COL))
 
     payload_cols = [

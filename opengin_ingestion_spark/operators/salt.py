@@ -33,9 +33,37 @@ def ensure_min_parallelism(df: DataFrame, min_partitions: int | None = None) -> 
     rest idle — measured 3-5× on the signature stages. On healthy
     multi-split inputs (the 100 TB case) this is a no-op; the repartition
     only ever pays a shuffle of the small input it parallelizes.
+
+    The probe deliberately does NOT go through ``df.rdd``: converting to
+    a Python RDD builds serializer plumbing just to read a number. File
+    scans are sized from Catalyst's own statistic (file bytes / scan
+    split size — pure driver arithmetic); other frames read the
+    partition count off the JVM-side physical RDD (no job runs).
     """
-    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= max(1, target // 2):
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+        if files:
+            # py4j hands back a plain int for small BigInts, a JavaObject
+            # otherwise — str() normalizes both
+            size = int(
+                str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+            )
+            conf = spark.conf.get(
+                "spark.sql.files.maxPartitionBytes", "134217728b"
+            )
+            split_bytes = int(
+                "".join(c for c in conf if c.isdigit()) or "134217728"
+            )
+            est = max(len(files), -(-size // max(1, split_bytes)))
+        else:
+            est = (
+                df._jdf.queryExecution().executedPlan().execute().getNumPartitions()
+            )
+    except Exception:  # exotic plan/py4j shape: fall back to the RDD probe
+        est = df.rdd.getNumPartitions()
+    if est >= max(1, target // 2):
         return df
     return df.repartition(target)
 

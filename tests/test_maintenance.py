@@ -150,3 +150,57 @@ def test_cli_info_history_gc(fragmented_table, capsys):
     cli_main(["metrics", path])
     metrics = json.loads(capsys.readouterr().out)
     assert any(m.get("events_in") for m in metrics)
+
+
+def test_idle_bucket_fold_cadence(spark, tiny_log, tmp_path):
+    """The fold-cadence policy from docs/PLANS.md, end-to-end: after an
+    incremental replay plus one final merge touching a FEW urls, the
+    buckets that merge touched are NOT idle; folding idle_buckets() only
+    yields a mixed table (some folded, some split) whose reads still
+    match the oracle row-for-row."""
+    from pyspark.sql import functions as F
+
+    from opengin_ingestion_spark.operators.compact import (
+        fold_heavy_compact,
+        idle_buckets,
+    )
+    from opengin_ingestion_spark.operators.merge import merge_batch
+    from opengin_ingestion_spark.plans.replay import (
+        TRANSFORM_FIELDS,
+        pages_pandas_transform,
+        replay_changelog,
+    )
+    from opengin_ingestion_spark.sources.reader import read_changelog
+    from tests.oracle import assert_states_equal, oracle_final_state
+
+    table, _ = replay_changelog(
+        spark, tiny_log["dir"], str(tmp_path / "pages"), n_buckets=16,
+        group_files=4,
+    )
+    # final merge touching ONE live url → its bucket is the only hot one
+    df = read_changelog(spark, tiny_log["dir"])
+    one_url = table.read().select("url").first()[0]
+    hot = df.filter(F.col("url") == one_url).limit(1)
+    merge_batch(
+        table, hot, batch_id=999,
+        pandas_transform=pages_pandas_transform,
+        transform_fields=TRANSFORM_FIELDS,
+    )
+    snap = table.current_snapshot()
+    idle = idle_buckets(table, idle_versions=1, snap=snap)
+    hot_bucket = table.read(snap).filter(F.col("url") == one_url).select(
+        table.bucket_expr(snap=snap).alias("b")
+    ).first()["b"]
+    assert hot_bucket not in idle
+    assert idle, "most buckets should be idle"
+
+    fold_heavy_compact(table, buckets=idle)
+    snap2 = table.current_snapshot()
+    folded = {f["bucket"] for f in snap2["files"] if f.get("folded")}
+    split = {f["bucket"] for f in snap2["files"] if not f.get("folded")}
+    assert folded == idle
+    assert hot_bucket in split
+    # mixed-table read still equals the single-threaded oracle (the hot
+    # re-merge re-delivered an already-applied event, so state unchanged)
+    engine = table.read(include_internal=True).toPandas()
+    assert_states_equal(engine, oracle_final_state(tiny_log["dir"]))

@@ -165,3 +165,46 @@ def test_merge_hot_url_batch(spark, tmp_path):
     assert not any(r.skipped for r in results)
     engine = table.read(include_internal=True).toPandas()
     assert_states_equal(engine, oracle_final_state(d))
+
+
+def test_hot_key_prereduce_equivalence(spark, tmp_path):
+    """merge_batch(hot_key_prereduce=True) must produce EXACTLY the state
+    of the default path on a zipf-hot log (partial max per input split +
+    global LWW == global LWW), including tombstones and derived columns."""
+    from opengin_ingestion_spark.plans.replay import (
+        PAGES_SCHEMA,
+        TRANSFORM_FIELDS,
+        pages_pandas_transform,
+    )
+    from opengin_ingestion_spark.sources.changelog import (
+        ChangeLogSpec,
+        generate_changelog,
+    )
+    from opengin_ingestion_spark.sources.gintable import GinTable
+    from opengin_ingestion_spark.sources.reader import read_changelog
+
+    d = str(tmp_path / "hotlog")
+    generate_changelog(
+        d, ChangeLogSpec(n_events=8_000, n_urls=300, n_batches=2, seed=11,
+                         zipf_s=2.5)
+    )
+    df = read_changelog(spark, d)
+
+    def run(flag: bool, name: str):
+        t = GinTable.create(
+            spark, str(tmp_path / name), PAGES_SCHEMA, n_buckets=8,
+            heavy_columns=("html", "text"),
+        )
+        merge_batch(
+            t, df, batch_id=0,
+            pandas_transform=pages_pandas_transform,
+            transform_fields=TRANSFORM_FIELDS,
+            hot_key_prereduce=flag,
+        )
+        return t
+
+    a = run(False, "plain")
+    b = run(True, "prereduced")
+    rows_a = sorted(map(tuple, a.read(include_internal=True).collect()))
+    rows_b = sorted(map(tuple, b.read(include_internal=True).collect()))
+    assert rows_a == rows_b

@@ -563,3 +563,34 @@ def test_ivf_recommend_rebuild_signals(spark, tmp_path):
     full = spark.read.parquet(ivf_cells_path(idx)).select("vec_id", "embedding")
     build_ivf_index(full, idx, n_centroids=4, seed=42)
     assert not recommend_rebuild(idx)
+
+
+def test_ivf_recommend_rebuild_skew_signal(spark, tmp_path):
+    """The SECOND drift signal: a delta concentrating mass into one cell
+    trips the skew threshold even without corpus growth."""
+    from opengin_ingestion_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_stats,
+        recommend_rebuild,
+        update_ivf_index,
+    )
+
+    df, centers, rng = _clustered_corpus(spark, seed=47, n=64)
+    idx = str(tmp_path / "ivf_skew")
+    build_ivf_index(df, idx, n_centroids=8, seed=42)
+    assert not recommend_rebuild(idx)
+    # move MOST existing ids into cluster 0's region (upserts, no growth)
+    skewed = spark.createDataFrame(
+        [
+            (i,
+             [float(x) for x in (centers[0] + 0.1 * rng.standard_normal(16))],
+             "upsert")
+            for i in range(56)
+        ],
+        "vec_id long, embedding array<float>, _change_type string",
+    )
+    update_ivf_index(skewed, idx)
+    s = ivf_index_stats(idx)
+    assert s["total_rows"] == 64  # no growth
+    assert s["skew"] > 4.0
+    assert recommend_rebuild(idx)  # skew signal fires
