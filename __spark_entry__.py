@@ -3,7 +3,7 @@
 ``queries()`` exposes every operator family of the engine
 (SURVEY.md §2) over the driver's read-only testdata tables; each entry with
 an ``oracle_sql()`` twin is exact-matched against DuckDB (row count +
-schema + order-insensitive value hash): ALL 41 queries since round 5 —
+schema + order-insensitive value hash): ALL 42 queries since round 5 —
 that includes the flagship ``cdc_replay_pages`` (the oracle replays the
 same change-log parquet through a DuckDB window query + the regex
 extraction chain), ``lsh_ann_topk`` (seeded hyperplanes injected as a
@@ -796,6 +796,30 @@ def q_cdc_fold_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ft.read().select("url", "warc_ts", "text", "lang")
 
 
+def q_cdc_lookup_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The serving path through the driver gate: GinTable.lookup() — a
+    bucket-pruned point read (ONE bucket's files scanned, key equality
+    pushed to parquet; sources/gintable.py) — of the lexicographically
+    smallest live url of the replay fixture must hash-match the replay
+    oracle filtered to the same key. Key choice is deterministic and
+    SQL-expressible (min over the oracle's own final state), so the
+    oracle needs no side-channel."""
+    from opengin_ingestion_spark.plans.replay import replay_changelog
+
+    log, table_path = _replay_fixture_paths()
+    table, _ = replay_changelog(spark, log, table_path, n_buckets=16)
+    url = table.read().agg(F.min("url")).first()[0]
+    return table.lookup(url).select("url", "warc_ts", "text", "lang")
+
+
+def _lookup_oracle_sql() -> str:
+    return f"""
+        WITH final AS ({_replay_oracle_sql()})
+        SELECT url, warc_ts, text, lang FROM final
+        WHERE url = (SELECT min(url) FROM final)
+    """
+
+
 def _replay_oracle_sql() -> str:
     """DuckDB twin of the full CDC replay (see q_cdc_replay_pages).
 
@@ -918,6 +942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_responses": q_parse_responses,
         "cdc_replay_pages": q_cdc_replay_pages,
         "cdc_fold_pages": q_cdc_fold_pages,
+        "cdc_lookup_page": q_cdc_lookup_page,
         "lsh_ann_topk": q_lsh_ann_topk,
         # md5-scheme signatures since round 5 — fully DuckDB-oracled
         "minhash_neardup": q_minhash_neardup,
@@ -1430,6 +1455,9 @@ def oracle_sql() -> dict[str, str]:
         # fold preserves content exactly — the folded copy answers to the
         # very same oracle as the split-layout flagship
         "cdc_fold_pages": _replay_oracle_sql(),
+        # bucket-pruned point lookup of the min live url — same oracle,
+        # filtered to the key the SQL itself selects
+        "cdc_lookup_page": _lookup_oracle_sql(),
         "lsh_ann_topk": _lsh_ann_oracle_sql(),
         # md5-based signature schemes since round 5: the whole MinHash and
         # SimHash pipelines (signatures, band buckets, caps, thresholds)

@@ -171,7 +171,10 @@ def fold_heavy_compact(table: GinTable, buckets: set[int] | None = None) -> dict
 
 
 def compact(
-    table: GinTable, max_files_per_bucket: int = 4, fold_heavy: bool = False
+    table: GinTable,
+    max_files_per_bucket: int = 4,
+    fold_heavy: bool = False,
+    sort_by: list[str] | None = None,
 ) -> dict:
     """Rewrite fragmented buckets to one file each. Returns the new
     snapshot (or the current one if nothing to do).
@@ -179,7 +182,16 @@ def compact(
     ``fold_heavy=True`` switches to the read-optimized fold instead (see
     ``fold_heavy_compact()``): every not-yet-folded bucket is rewritten
     with heavy columns inline and its heavy files dropped — subsequent
-    reads are join-free."""
+    reads are join-free.
+
+    ``sort_by`` clusters each rewritten bucket's rows by the given
+    columns (``sortWithinPartitions`` — no extra shuffle, the bucket
+    repartition is already there) so parquet row-group min/max statistics
+    become range-prunable: a time-range scan over a table compacted with
+    ``sort_by=[ts_col]`` skips whole row groups instead of decoding them.
+    The ingest path deliberately does NOT sort (merge writes stay cheap);
+    clustering is a compaction-time decision, like Iceberg's sort-order
+    rewrite (public knowledge)."""
     if fold_heavy:
         return fold_heavy_compact(table)
     snap = table.current_snapshot()
@@ -191,6 +203,8 @@ def compact(
         .withColumn(BUCKET_COL, table.bucket_expr(snap=snap))
         .repartition(len(buckets), F.col(BUCKET_COL))
     )
+    if sort_by:
+        rows = rows.sortWithinPartitions(BUCKET_COL, *sort_by)
     # full rewrite of the fragmented buckets: both families; stale heavy
     # rows (superseded payload versions) are dropped here
     new_files = table.write_split_data_files(

@@ -52,6 +52,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # write timestamps as TIMESTAMP_MICROS, not the deprecated INT96:
+        # 8 bytes instead of 12 AND the column gets row-group min/max
+        # statistics, which compact(sort_by=[ts]) turns into range
+        # pruning (INT96 stats are suppressed by parquet spec)
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         # local-mode shuffle spills through this dir; tmpfs is the sandbox

@@ -341,6 +341,37 @@ class GinTable:
 
     # -- read path ----------------------------------------------------------
 
+    def lookup(
+        self,
+        key_value,
+        snap: dict | None = None,
+        include_heavy: bool = True,
+    ) -> DataFrame:
+        """Bucket-pruned point read — the serving path: resolve the key's
+        bucket and read ONLY that bucket's files, so a single-key lookup
+        on a 100 TB table scans one bucket (~64 MB default), not the
+        table. The key equality is also pushed to the parquet scan
+        (PushedFilters), so row-group stats prune within the bucket too.
+
+        The bucket id is resolved with the SAME ``bucket_expr`` the
+        writes use, evaluated on a one-row literal frame — a tiny local
+        job (no table data touched) that guarantees hash parity with the
+        layout; a serving tier doing thousands of lookups/sec would
+        evaluate Spark's xxhash64 driver-side once and cache, but
+        correctness-by-construction wins here.
+        """
+        snap = snap or self.current_snapshot()
+        key = self.key_col(snap)
+        row = (
+            self.spark.range(1)
+            .select(F.lit(key_value).alias(key))
+            .select(self.bucket_expr(key, snap).alias("b"))
+            .first()
+        )
+        return self.read(
+            snap, buckets={row["b"]}, include_heavy=include_heavy
+        ).filter(F.col(key) == F.lit(key_value))
+
     def read(
         self,
         snap: dict | None = None,

@@ -174,3 +174,45 @@ def test_concurrent_merges_retry_and_both_commit(spark, tmp_path):
     snap = t.current_snapshot()
     assert t.is_batch_applied(1) and t.is_batch_applied(2)
     assert t.read().count() == 60  # both batches, nothing lost or doubled
+
+
+def test_lookup_is_bucket_pruned_point_read(spark, tiny_log, tmp_path):
+    """GinTable.lookup: same row as a full-table filter, but the scan
+    touches ONLY the key's bucket files (the serving path — one bucket,
+    not the table) and pushes the key equality to parquet."""
+    from pyspark.sql import functions as F
+
+    from opengin_ingestion_spark.plans.replay import replay_changelog
+
+    table, _ = replay_changelog(
+        spark, tiny_log["dir"], str(tmp_path / "pages"), n_buckets=16
+    )
+    snap = table.current_snapshot()
+    url = table.read().select("url").first()[0]
+
+    got = table.lookup(url)
+    expect = table.read().filter(F.col("url") == url)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expect.collect()))
+    assert got.count() == 1
+
+    # file pruning: the lookup plan lists only the key's bucket's files
+    bucket = (
+        spark.range(1).select(F.lit(url).alias("url"))
+        .select(table.bucket_expr("url", snap).alias("b")).first()["b"]
+    )
+    bucket_files = {
+        f["path"].removeprefix("data/")
+        for f in snap["files"] if f["bucket"] == bucket
+    }
+    scanned = {p.split("/data/")[-1] for p in got.inputFiles()}
+    assert scanned <= bucket_files
+    assert len(scanned) < len(snap["files"]), "lookup must not scan the table"
+
+    # predicate pushdown reaches the scan
+    fmt = got._sc._jvm.PythonSQLUtils.explainString(
+        got._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters" in fmt and "url" in fmt.split("PushedFilters")[1][:200]
+
+    # a key that hashes to a valid bucket but doesn't exist: empty, cheap
+    assert table.lookup("https://nope.example.com/x").count() == 0

@@ -204,3 +204,53 @@ def test_idle_bucket_fold_cadence(spark, tiny_log, tmp_path):
     # re-merge re-delivered an already-applied event, so state unchanged)
     engine = table.read(include_internal=True).toPandas()
     assert_states_equal(engine, oracle_final_state(tiny_log["dir"]))
+
+
+def test_compact_sort_by_clusters_rows_for_rowgroup_skipping(
+    spark, tiny_log, tmp_path
+):
+    """compact(sort_by=[ts]) writes each bucket's rows clustered by the
+    column, so parquet row-group min/max stats become range-prunable.
+    Verified on the physical files (pyarrow metadata: values sorted,
+    stats present) and on state (compaction never changes content)."""
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from opengin_ingestion_spark.operators.compact import compact
+    from opengin_ingestion_spark.plans.replay import replay_changelog
+    from tests.oracle import assert_states_equal, oracle_final_state
+
+    table, _ = replay_changelog(
+        spark, tiny_log["dir"], str(tmp_path / "pages"), n_buckets=8,
+        group_files=1,  # 8 merges → fragmented heavy family
+    )
+    before = table.read(include_internal=True).toPandas()
+    compact(table, max_files_per_bucket=1, sort_by=["warc_ts"])
+    snap = table.current_snapshot()
+    assert snap["metrics"]["op"] == "compact"
+
+    # every rewritten base file is internally sorted by warc_ts and
+    # carries row-group statistics for it
+    base_files = [
+        f["path"] for f in snap["files"] if f.get("family", "base") == "base"
+    ]
+    assert base_files
+    checked = 0
+    for rel in base_files:
+        md = pq.ParquetFile(os.path.join(table.path, rel))
+        idx = md.schema_arrow.get_field_index("warc_ts")
+        col = md.read(columns=["warc_ts"]).column("warc_ts").to_pylist()
+        assert col == sorted(col), f"{rel} not clustered by warc_ts"
+        stats = md.metadata.row_group(0).column(idx).statistics
+        assert stats is not None and stats.has_min_max
+        checked += 1
+    assert checked == len(base_files)
+
+    # content unchanged by the clustering rewrite
+    assert_states_equal(
+        table.read(include_internal=True).toPandas(),
+        oracle_final_state(tiny_log["dir"]),
+    )
+    assert len(before) == table.read(include_internal=True).count()
