@@ -135,13 +135,69 @@ class DataFile:
     # a folded bucket re-splits it (and must read its payloads from the
     # folded file — see merge.py target read).
     folded: bool = False
+    # event-time range of the file's rows (naive-UTC ISO strings, read
+    # from the parquet footer at write time) — the MANIFEST-level pruning
+    # statistic: a range read drops non-overlapping files from the scan's
+    # file list before Spark even opens a footer. None (no stats / heavy
+    # family / pre-r5 files) means "never pruned" — always safe.
+    ts_min: str | None = None
+    ts_max: str | None = None
 
     def to_json(self) -> dict:
         return self.__dict__.copy()
 
     @staticmethod
     def from_json(d: dict) -> "DataFile":
-        return DataFile(**{"family": "base", "folded": False, **d})
+        return DataFile(
+            **{"family": "base", "folded": False,
+               "ts_min": None, "ts_max": None, **d}
+        )
+
+
+def _ts_to_iso(x) -> str:
+    """Normalize a datetime / ISO string to naive-UTC ISO text — the same
+    form DataFile.ts_min/ts_max use, so range overlap is a lexicographic
+    string comparison."""
+    import datetime as _dt
+
+    if isinstance(x, _dt.datetime):
+        if x.tzinfo is not None:
+            x = x.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return x.isoformat()
+    return str(x)
+
+
+def _footer_ts_range(meta, ts_col: str) -> tuple[str | None, str | None]:
+    """(min, max) of ``ts_col`` across a parquet file's row groups as
+    naive-UTC ISO strings, from footer statistics already in hand at
+    write time; (None, None) when absent (INT96 legacy, missing column,
+    suppressed stats) — absent stats mean the file is never pruned."""
+    import datetime as _dt
+
+    try:
+        names = list(meta.schema.names)
+        if ts_col not in names:
+            return None, None
+        idx = names.index(ts_col)
+        lo = hi = None
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                return None, None
+            mn, mx = st.min, st.max
+            lo = mn if lo is None or mn < lo else lo
+            hi = mx if hi is None or mx > hi else hi
+
+        def iso(x):
+            if isinstance(x, _dt.datetime):
+                if x.tzinfo is not None:
+                    x = x.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+                return x.isoformat()
+            return None
+
+        return iso(lo), iso(hi)
+    except Exception:
+        return None, None
 
 
 class GinTable:
@@ -378,12 +434,27 @@ class GinTable:
         buckets: set[int] | None = None,
         include_internal: bool = False,
         include_heavy: bool = True,
+        ts_range: tuple | None = None,
     ) -> DataFrame:
-        """Read table state at a snapshot, optionally pruned to buckets.
+        """Read table state at a snapshot, optionally pruned to buckets
+        and/or an event-time range.
 
         Bucket pruning happens HERE, at the manifest layer — the Spark scan
         never even lists the untouched files (this is the engine's
         partition pruning for MERGE).
+
+        ``ts_range=(lo, hi)`` (datetimes or ISO strings, inclusive) prunes
+        base/folded files whose manifest-recorded event-time range
+        (DataFile.ts_min/ts_max, read from footers at write time) does not
+        overlap — at 10^5-file scale this drops files BEFORE Spark lists
+        or opens them, one manifest pass instead of 10^5 footer reads;
+        row-group stats then prune WITHIN the surviving files (see
+        compact(sort_by=...)). The exact row filter is applied on top, so
+        the result is precisely the rows in range regardless of stats
+        coverage; files without stats are always read (never wrongly
+        pruned). Heavy files carry no event time — on a split table a
+        range read joins the full heavy family (fold first, or use
+        include_heavy=False, when range serving is the hot path).
 
         On a column-family-split table, heavy columns are recovered with a
         ``_seq`` join against the heavy family — a direct join under the
@@ -408,6 +479,15 @@ class GinTable:
         files = [DataFile.from_json(f) for f in snap["files"]]
         if buckets is not None:
             files = [f for f in files if f.bucket in buckets]
+        lo_iso = hi_iso = None
+        if ts_range is not None:
+            lo_iso, hi_iso = (_ts_to_iso(ts_range[0]), _ts_to_iso(ts_range[1]))
+            files = [
+                f for f in files
+                if f.family == "heavy"
+                or f.ts_min is None or f.ts_max is None
+                or not (f.ts_max < lo_iso or f.ts_min > hi_iso)
+            ]
         folded_files = [f for f in files if f.family == "base" and f.folded]
         if not (heavy_cols and include_heavy):
             # folded files are ordinary base files here: reading them under
@@ -463,6 +543,15 @@ class GinTable:
                 for c in heavy_cols:
                     df = df.withColumn(c, F.lit(None).cast(schema[c].dataType))
         df = df.select(*[f.name for f in schema.fields])  # canonical order
+        if ts_range is not None:
+            # exact semantics on top of the file pruning: the surviving
+            # files may carry out-of-range rows (and stat-less files are
+            # read whole); this predicate also pushes to the parquet scan
+            tsc = self.ts_col(snap)
+            df = df.filter(
+                (F.col(tsc) >= F.lit(lo_iso).cast("timestamp"))
+                & (F.col(tsc) <= F.lit(hi_iso).cast("timestamp"))
+            )
         if not include_internal:
             # user view: tombstones invisible, internal columns dropped
             df = df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False))).select(
@@ -533,6 +622,12 @@ class GinTable:
             .partitionBy(BUCKET_COL)
             .parquet(commit_dir)
         )
+        # event-time column for the manifest pruning statistic (base and
+        # folded files only — heavy payload rows carry no event time)
+        try:
+            stats_ts_col = self.ts_col() if family == "base" else None
+        except Exception:  # pre-v0 table state: no stats, never pruned
+            stats_ts_col = None
         out: list[DataFile] = []
         for bucket_dir in sorted(os.listdir(commit_dir)):
             if not bucket_dir.startswith(f"{BUCKET_COL}="):
@@ -544,6 +639,9 @@ class GinTable:
                     continue
                 fpath = os.path.join(bdir, fname)
                 meta = pq.read_metadata(fpath)
+                ts_min = ts_max = None
+                if stats_ts_col is not None:
+                    ts_min, ts_max = _footer_ts_range(meta, stats_ts_col)
                 out.append(
                     DataFile(
                         path=os.path.join(commit_dir_rel, bucket_dir, fname),
@@ -553,6 +651,8 @@ class GinTable:
                         schema_version=schema_version,
                         family=family,
                         folded=folded,
+                        ts_min=ts_min,
+                        ts_max=ts_max,
                     )
                 )
         return out

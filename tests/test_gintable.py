@@ -216,3 +216,72 @@ def test_lookup_is_bucket_pruned_point_read(spark, tiny_log, tmp_path):
 
     # a key that hashes to a valid bucket but doesn't exist: empty, cheap
     assert table.lookup("https://nope.example.com/x").count() == 0
+
+
+def test_read_ts_range_prunes_files_from_manifest(spark, tiny_log, tmp_path):
+    """Manifest-level event-time pruning: append commits of disjoint time
+    slices carry per-file ts_min/ts_max (footer stats recorded at write);
+    a range read lists only overlapping files (inputFiles) and returns
+    exactly the rows a plain filter would."""
+    from pyspark.sql import functions as F
+
+    from opengin_ingestion_spark.plans.replay import replay_changelog
+    from opengin_ingestion_spark.sources.gintable import BUCKET_COL
+
+    table, _ = replay_changelog(
+        spark, tiny_log["dir"], str(tmp_path / "pages"), n_buckets=4
+    )
+    base = table.read(include_internal=True)
+    tmin, tmax = base.agg(
+        F.min("warc_ts"), F.max("warc_ts")
+    ).first()
+    step = (tmax - tmin) / 4
+    qs = [tmin + step, tmin + 2 * step, tmin + 3 * step]
+
+    # 4 append commits of disjoint time-slices (fresh _seq per slice)
+    bounds = [None, *qs, None]
+    for i in range(4):
+        cond = F.lit(True)
+        if bounds[i] is not None:
+            cond = cond & (F.col("warc_ts") > F.lit(bounds[i]))
+        if bounds[i + 1] is not None:
+            cond = cond & (F.col("warc_ts") <= F.lit(bounds[i + 1]))
+        part = (
+            base.filter(cond)
+            .withColumn(BUCKET_COL, table.bucket_expr(snap=None))
+            .withColumn("_seq", F.col("_seq") + F.lit(10_000_000 * (i + 1)))
+        )
+        files = table.write_data_files(part, table.current_version() + 1, 1)
+        assert all(f.ts_min is not None and f.ts_max is not None for f in files), (
+            "append files must carry manifest ts stats"
+        )
+        table.commit(files, replaced_buckets=set(), batch_ids=[])
+
+    snap = table.current_snapshot()
+    lo = min(f["ts_min"] for f in snap["files"] if f.get("ts_min"))
+    # range = strictly the FIRST quartile slice
+    import datetime as dt
+
+    lo_dt = dt.datetime.fromisoformat(lo)
+    hi_dt = qs[0]
+
+    ranged = table.read(ts_range=(lo_dt, hi_dt), include_internal=True)
+    plain = table.read(include_internal=True).filter(
+        (F.col("warc_ts") >= F.lit(lo_dt)) & (F.col("warc_ts") <= F.lit(hi_dt))
+    )
+
+    def rows(df):  # None-safe sort (appended rows carry null heavy cols)
+        return sorted(
+            map(tuple, df.collect()),
+            key=lambda t: tuple((x is None, x) for x in t),
+        )
+
+    assert rows(ranged) == rows(plain)
+    assert ranged.count() > 0
+
+    # the manifest pruned the later slices' files from the scan
+    all_files = len(table.read(include_internal=True).inputFiles())
+    ranged_files = len(ranged.inputFiles())
+    assert ranged_files < all_files, (
+        f"range read must scan fewer files ({ranged_files} vs {all_files})"
+    )
