@@ -3,7 +3,7 @@
 ``queries()`` exposes every operator family of the engine
 (SURVEY.md §2) over the driver's read-only testdata tables; each entry with
 an ``oracle_sql()`` twin is exact-matched against DuckDB (row count +
-schema + order-insensitive value hash): ALL 42 queries since round 5 —
+schema + order-insensitive value hash): ALL 43 queries since round 5 —
 that includes the flagship ``cdc_replay_pages`` (the oracle replays the
 same change-log parquet through a DuckDB window query + the regex
 extraction chain), ``lsh_ann_topk`` (seeded hyperplanes injected as a
@@ -526,6 +526,92 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(docs, max_hamming=3)
 
 
+def q_minhash_incr_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup against a PERSISTED corpus index (the production
+    pattern: each new crawl batch vs the existing corpus, corpus text
+    never re-hashed). Corpus = doc_id % 5 != 0 (indexed to a temp dir),
+    batch = doc_id % 5 == 0. DuckDB-oracled end-to-end: the md5 signature
+    scheme makes signatures, band buckets, the index-side bucket cap and
+    est_jaccard all reproducible in SQL (_minhash_incr_oracle_sql)."""
+    from opengin_ingestion_spark.operators.dedup import (
+        build_minhash_index,
+        minhash_index_neardup,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    # deterministic on-disk cache (same discipline as the replay fixture):
+    # build once per (sf_dir, params), atomic-rename publish so concurrent
+    # drivers can't see a half-built index; the returned frame stays lazy
+    # over a stable path
+    key = hashlib.sha256(f"mhidx-v1|{sf_dir}|32|8|3|md5|5".encode()).hexdigest()[:12]
+    base = f"/tmp/opengin_mh_index_{key}"
+    if not os.path.isdir(base):
+        tmp = tempfile.mkdtemp(prefix=f"{base}.tmp")
+        build_minhash_index(corpus, tmp)
+        try:
+            os.rename(tmp, base)
+        except OSError:  # another driver won the publish race
+            shutil.rmtree(tmp, ignore_errors=True)
+    return minhash_index_neardup(batch, base, threshold=0.5)
+
+
+def _minhash_incr_oracle_sql(
+    n_hashes: int = 32, bands: int = 8, threshold: float = 0.5,
+    max_bucket_size: int = 5000, split_mod: int = 5,
+) -> str:
+    """DuckDB twin of build_minhash_index + minhash_index_neardup over the
+    documents split (corpus = id % split_mod != 0, batch = the rest). The
+    bucket-size cap applies to the INDEX side only, exactly like the
+    operator."""
+    r = n_hashes // bands
+    mins = ",\n                   ".join(
+        f"min(md5(h || ':{i}'))" for i in range(n_hashes)
+    )
+    buckets = " || ".join(f"sig[b * {r} + {j + 1}]" for j in range(r))
+    return f"""
+        WITH words AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+            FROM words,
+                 unnest(generate_series(1, greatest(len(w)-2, 1))) AS t(i)
+        ), hashed AS (
+            SELECT doc_id, md5(shingle) AS h FROM sh
+        ), sig AS (
+            SELECT doc_id,
+                   [{mins}] AS sig
+            FROM hashed GROUP BY doc_id
+        ), band_rows AS (
+            SELECT doc_id, sig, b AS band, md5({buckets}) AS bucket
+            FROM sig, unnest(generate_series(0, {bands - 1})) AS t(b)
+        ), idx AS (
+            SELECT * FROM (
+                SELECT *, count(*) OVER (PARTITION BY band, bucket) AS _bn
+                FROM band_rows WHERE doc_id % {split_mod} != 0
+            ) WHERE _bn <= {max_bucket_size}
+        ), batch AS (
+            SELECT * FROM band_rows WHERE doc_id % {split_mod} = 0
+        ), cand AS (
+            SELECT n.doc_id AS id_new, i.doc_id AS id_indexed,
+                   any_value(n.sig) AS sig_a, any_value(i.sig) AS sig_b
+            FROM batch n JOIN idx i
+              ON n.band = i.band AND n.bucket = i.bucket
+             AND n.doc_id <> i.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT id_new, id_indexed, est_jaccard
+        FROM (
+            SELECT id_new, id_indexed,
+                   CAST(len(list_filter(generate_series(1, {n_hashes}),
+                        i -> sig_a[i] = sig_b[i])) AS DOUBLE)
+                     / {float(n_hashes)} AS est_jaccard
+            FROM cand
+        ) WHERE est_jaccard >= {threshold}
+    """
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard pairs (the accuracy oracle for MinHash).
     DuckDB-oracled: the shingle construction is mirrored exactly
@@ -946,6 +1032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_topk": q_lsh_ann_topk,
         # md5-scheme signatures since round 5 — fully DuckDB-oracled
         "minhash_neardup": q_minhash_neardup,
+        "minhash_incr_neardup": q_minhash_incr_neardup,
         "simhash_neardup": q_simhash_neardup,
     }
 
@@ -1463,6 +1550,7 @@ def oracle_sql() -> dict[str, str]:
         # SimHash pipelines (signatures, band buckets, caps, thresholds)
         # are reproduced hash-for-hash in DuckDB
         "minhash_neardup": _minhash_oracle_sql(),
+        "minhash_incr_neardup": _minhash_incr_oracle_sql(),
         "simhash_neardup": _simhash_oracle_sql(),
         # frame count/timestamps are pure functions of the duration rule:
         # n = min(max_frames, max(1, duration_ms // every_ms))

@@ -13,6 +13,7 @@ Usage:
     python -m opengin_ingestion_spark.cli ivf-update <table_path> --index PATH \
         --from-version N [--id-col vec_id] [--vec-col embedding]
     python -m opengin_ingestion_spark.cli ivf-stats <index_path>
+    python -m opengin_ingestion_spark.cli lookup <table_path> <key>
 
 `info`/`history`/`metrics`/`gc --dry-run` are driver-only (no Spark
 session — they read manifests); the rewrite commands spin one up.
@@ -127,6 +128,17 @@ def cmd_ivf_update(
     print(json.dumps(stats))
 
 
+def cmd_lookup(path: str, key_value: str) -> None:
+    """Point read through the serving path (GinTable.lookup — ONE bucket's
+    files scanned); prints each matching row as a JSON line."""
+    from opengin_ingestion_spark.session import get_spark
+
+    spark = get_spark(app_name="lookup")
+    t = GinTable.load(spark, path)
+    for row in t.lookup(key_value).collect():
+        print(json.dumps({k: str(v) for k, v in row.asDict().items()}))
+
+
 def cmd_ivf_stats(index_path: str) -> None:
     """Driver-only: update-maintained drift stats + the rebuild
     recommendation (operators/similarity.py::recommend_rebuild) — the
@@ -174,6 +186,8 @@ def main(argv: list[str] | None = None) -> None:
     elif cmd == "rebucket":
         nb = int(args[args.index("--buckets") + 1])
         cmd_rebucket(path, nb)
+    elif cmd == "lookup":
+        cmd_lookup(path, args[2])
     elif cmd == "ivf-stats":
         cmd_ivf_stats(path)  # path = the index dir for this command
     elif cmd == "ivf-update":

@@ -149,6 +149,49 @@ def minhash_signatures(
     )
 
 
+def _minhash_band_rows(
+    sig: DataFrame, id_col: str, n_hashes: int, bands: int, scheme: str
+) -> DataFrame:
+    """(id, sig, band, bucket) rows — the LSH banding shared by the
+    self-join pair finder and the persisted corpus index."""
+    r = n_hashes // bands
+    if scheme == "md5":
+        bucket_of = lambda b: F.md5(  # noqa: E731
+            F.concat(*[F.col("sig")[i] for i in range(b * r, (b + 1) * r)])
+        )
+    else:
+        bucket_of = lambda b: F.hash(  # noqa: E731
+            *[F.col("sig")[i] for i in range(b * r, (b + 1) * r)]
+        )
+    return sig.select(
+        F.col(id_col),
+        F.col("sig"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        bucket_of(b).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "sig", "bb.band", "bb.bucket")
+
+
+def _est_jaccard(n_hashes: int):
+    return (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda v: v,
+            )
+        ).cast("double")
+        / F.lit(float(n_hashes))
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -179,34 +222,11 @@ def minhash_lsh_pairs(
     connected components anyway. Dropped counts are observable
     (``minhash_band_cap``), never silent.
     """
-    r = n_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k, scheme)
     # lineage barrier before the band self-join (avoids recomputing the
     # shingle explode + n_hashes aggregation once per join side)
     sig = sig.localCheckpoint(eager=True)
-    if scheme == "md5":
-        bucket_of = lambda b: F.md5(  # noqa: E731
-            F.concat(*[F.col("sig")[i] for i in range(b * r, (b + 1) * r)])
-        )
-    else:
-        bucket_of = lambda b: F.hash(  # noqa: E731
-            *[F.col("sig")[i] for i in range(b * r, (b + 1) * r)]
-        )
-    band_rows = sig.select(
-        F.col(id_col),
-        F.col("sig"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        bucket_of(b).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select(id_col, "sig", "bb.band", "bb.bucket")
+    band_rows = _minhash_band_rows(sig, id_col, n_hashes, bands, scheme)
     band_rows = cap_key_frequency(
         band_rows, ["band", "bucket"], max_bucket_size, "minhash_band"
     )
@@ -227,19 +247,148 @@ def minhash_lsh_pairs(
         # on the id pair (cheap keys), not on the signature arrays
         .agg(F.first(F.col("a.sig")).alias("sig_a"), F.first(F.col("b.sig")).alias("sig_b"))
     )
-    est = (
-        F.size(
-            F.filter(
-                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
-                lambda v: v,
-            )
-        ).cast("double")
-        / F.lit(float(n_hashes))
-    )
     return (
-        cand.withColumn("est_jaccard", est)
+        cand.withColumn("est_jaccard", _est_jaccard(n_hashes))
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+# --- persisted MinHash corpus index (incremental dedup) ------------------------
+
+def build_minhash_index(
+    df: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    scheme: str = "md5",
+) -> dict:
+    """Persist the corpus's LSH band rows — the production incremental-
+    dedup pattern: dedup each NEW crawl batch against the EXISTING corpus
+    without re-hashing the corpus (the self-join operators re-shingle
+    everything every run; at a growing corpus that is quadratic over
+    time). Layout: (id, sig, band, bucket) parquet partitioned by
+    ``band`` + a ``meta.json`` commit marker recording the parameters, so
+    a query can never silently mix incompatible schemes. Work per query
+    batch = hash the batch + one shuffle join against the (slim) band
+    rows; the corpus's text is never touched again.
+
+    Same generation-free simplicity as the exports (append-only index —
+    see ``append_to_minhash_index``); for in-place rewrite semantics use
+    a fresh path and atomic-rename like the IVF generations.
+    """
+    import json as _json
+    import os as _os
+
+    sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k, scheme)
+    rows = _minhash_band_rows(sig, id_col, n_hashes, bands, scheme)
+    _os.makedirs(index_path, exist_ok=True)
+    (
+        rows.repartition(F.col("band"))
+        .write.mode("overwrite")
+        .partitionBy("band")
+        .parquet(_os.path.join(index_path, "bands"))
+    )
+    meta = {
+        "id_col": id_col,
+        "n_hashes": n_hashes,
+        "bands": bands,
+        "shingle_k": shingle_k,
+        "scheme": scheme,
+    }
+    tmp = _os.path.join(index_path, "meta.json.tmp")
+    with open(tmp, "w") as fh:  # commit marker LAST (same as IVF)
+        _json.dump(meta, fh)
+    _os.replace(tmp, _os.path.join(index_path, "meta.json"))
+    return meta
+
+
+def append_to_minhash_index(
+    df: DataFrame, index_path: str, text_col: str = "text"
+) -> None:
+    """Append new docs' band rows under the index's recorded parameters
+    (the cheap growth path — the caller guarantees ids are fresh; re-
+    appending an id simply yields duplicate candidates, filtered by the
+    pair aggregation)."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(index_path, "meta.json")) as fh:
+        meta = _json.load(fh)
+    sig = minhash_signatures(
+        df, text_col, meta["id_col"], meta["n_hashes"], meta["shingle_k"],
+        meta["scheme"],
+    )
+    rows = _minhash_band_rows(
+        sig, meta["id_col"], meta["n_hashes"], meta["bands"], meta["scheme"]
+    )
+    (
+        rows.repartition(F.col("band"))
+        .write.mode("append")
+        .partitionBy("band")
+        .parquet(_os.path.join(index_path, "bands"))
+    )
+
+
+def minhash_index_neardup(
+    new_docs: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    threshold: float = 0.7,
+    max_bucket_size: int = 5000,
+) -> DataFrame:
+    """Near-dup pairs between a NEW batch and the indexed corpus:
+    (id_new, id_indexed, est_jaccard). The batch is hashed under the
+    index's recorded parameters; candidates come from ONE shuffle join of
+    the batch's band rows against the persisted band rows (the index side
+    is bucket-capped like every LSH join here — a degenerate corpus
+    bucket must not explode a batch query). Self-pairs (an id present on
+    both sides, e.g. after append) are excluded.
+
+    At 100 TB tier: the joined index side is (id, sig, band, bucket) —
+    slim rows, never corpus text; band partitioning keeps the scan
+    aligned with the join key space.
+    """
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(index_path, "meta.json")) as fh:
+        meta = _json.load(fh)
+    id_col = meta["id_col"]
+    spark = new_docs.sparkSession
+    sig_new = minhash_signatures(
+        new_docs, text_col, id_col, meta["n_hashes"], meta["shingle_k"],
+        meta["scheme"],
+    ).localCheckpoint(eager=True)
+    rows_new = _minhash_band_rows(
+        sig_new, id_col, meta["n_hashes"], meta["bands"], meta["scheme"]
+    )
+    idx = spark.read.parquet(_os.path.join(index_path, "bands")).select(
+        F.col(id_col).alias("id_indexed"),
+        F.col("sig").alias("sig_b"),
+        F.col("band").cast("int").alias("band"),
+        F.col("bucket"),
+    )
+    idx = cap_key_frequency(idx, ["band", "bucket"], max_bucket_size, "minhash_index")
+    cand = (
+        rows_new.select(
+            F.col(id_col).alias("id_new"),
+            F.col("sig").alias("sig_a"),
+            "band",
+            "bucket",
+        )
+        .join(idx, ["band", "bucket"])
+        .filter(F.col("id_new") != F.col("id_indexed"))
+        .groupBy("id_new", "id_indexed")
+        .agg(F.first("sig_a").alias("sig_a"), F.first("sig_b").alias("sig_b"))
+    )
+    return (
+        cand.withColumn("est_jaccard", _est_jaccard(meta["n_hashes"]))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_new", "id_indexed", "est_jaccard")
     )
 
 

@@ -228,3 +228,60 @@ def test_curate_documents_pipeline(spark):
     kept_ids = {r["doc_id"] for r in kept.collect()}
     assert kept_ids == {k for k, v in dec.items() if v == "kept"}
     assert all(10 + i in kept_ids for i in range(10))
+
+
+def test_minhash_index_incremental_neardup(spark, corpus, tmp_path):
+    """Persisted-corpus incremental dedup: a new batch's near-dups against
+    the indexed corpus equal the cross-side subset of the self-join
+    operator's pairs (same scheme, same banding — different physical
+    path); append extends the corpus; self-pairs excluded."""
+    from pyspark.sql import functions as F
+
+    from opengin_ingestion_spark.operators.dedup import (
+        append_to_minhash_index,
+        build_minhash_index,
+        minhash_index_neardup,
+    )
+
+    # corpus = ids < 20, new batch = ids >= 20 (family A's near-dup 0/1/2
+    # spans... keep all of A in corpus; craft a new batch that near-dups
+    # corpus docs)
+    corpus_df = corpus.filter(F.col("doc_id") < 20)
+    new_rows = [
+        (100, BASE.replace("dog", "cat")),           # near-dup of doc 0
+        (101, "totally novel content nothing shared with anyone here"),
+    ]
+    new_df = spark.createDataFrame(new_rows, ["doc_id", "text"])
+
+    idx = str(tmp_path / "mh_idx")
+    build_minhash_index(corpus_df, idx)
+    got = {
+        (r["id_new"], r["id_indexed"]): r["est_jaccard"]
+        for r in minhash_index_neardup(new_df, idx, threshold=0.5).collect()
+    }
+    # oracle: the self-join operator over corpus ∪ new, restricted to
+    # cross-side pairs
+    from opengin_ingestion_spark.operators.dedup import minhash_lsh_pairs
+
+    all_pairs = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_lsh_pairs(
+            corpus_df.unionByName(new_df), threshold=0.5
+        ).collect()
+    }
+    cross = {
+        (b, a): j for (a, b), j in all_pairs.items() if a < 20 <= b
+    }
+    assert got == cross
+    assert (100, 0) in got and all(k[0] != 101 for k in got)
+
+    # append the new batch; a later batch near-dupping doc 100 now matches
+    append_to_minhash_index(new_df, idx)
+    later = spark.createDataFrame(
+        [(200, BASE.replace("dog", "cat") + " tail")], ["doc_id", "text"]
+    )
+    got2 = {
+        (r["id_new"], r["id_indexed"])
+        for r in minhash_index_neardup(later, idx, threshold=0.5).collect()
+    }
+    assert (200, 100) in got2 and (200, 0) in got2
