@@ -71,6 +71,18 @@ def _warmup(spark, sf_dir: str) -> None:
     df.select(F.sum(_noop_udf("id"))).collect()
     spark.read.parquet(os.path.join(sf_dir, "events.parquet")).limit(1000).count()
 
+    # the md5 minhash signature is a 32-aggregate expression whose FIRST
+    # whole-stage-codegen compile costs ~10s per JVM; compile it here on
+    # 50 rows so the measured runs time the operator, not javac (the
+    # generated class depends on expression structure, not data size)
+    from opengin_ingestion_spark.operators.dedup import minhash_lsh_pairs
+
+    tiny = df.limit(50).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("warm doc text number "), F.col("id")).alias("text"),
+    )
+    minhash_lsh_pairs(tiny, threshold=0.9).count()
+
 
 def bench_queries(spark, sf_dir: str, runs: int) -> dict[str, float]:
     """Per-query steady-state latency: best of ``runs`` executions (run 1
