@@ -132,18 +132,27 @@ def minhash_signatures(
     df = ensure_min_parallelism(df)
     sh = word_shingles(df, text_col, id_col, k=shingle_k, distinct=False)
     if scheme == "md5":
+        # NOTE (r6): computing the n seeded re-hashes once per DISTINCT
+        # shingle digest and joining back was tried and measured SLOWER
+        # (8.2s vs 4.3s at sf1.0): the join ships 32 hex strings (~1 KB)
+        # per shingle occurrence through an exchange, which costs more
+        # than the md5s it saves. The inline form keeps everything in one
+        # codegen'd partial-aggregating stage.
         hashed = sh.select(id_col, F.md5("shingle").alias("_h"))
-        aggs = [
-            F.min(F.md5(F.concat(F.col("_h"), F.lit(f":{i}")))).alias(f"h{i}")
-            for i in range(n_hashes)
-        ]
+        sig = hashed.groupBy(id_col).agg(
+            *[
+                F.min(F.md5(F.concat(F.col("_h"), F.lit(f":{i}")))).alias(f"h{i}")
+                for i in range(n_hashes)
+            ]
+        )
     else:
         hashed = sh.select(id_col, F.xxhash64("shingle").alias("_h"))
-        aggs = [
-            F.min(F.hash(F.col("_h"), F.lit(i))).alias(f"h{i}")
-            for i in range(n_hashes)
-        ]
-    sig = hashed.groupBy(id_col).agg(*aggs)
+        sig = hashed.groupBy(id_col).agg(
+            *[
+                F.min(F.hash(F.col("_h"), F.lit(i))).alias(f"h{i}")
+                for i in range(n_hashes)
+            ]
+        )
     return sig.select(
         id_col, F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("sig")
     )
@@ -227,8 +236,16 @@ def minhash_lsh_pairs(
     # shingle explode + n_hashes aggregation once per join side)
     sig = sig.localCheckpoint(eager=True)
     band_rows = _minhash_band_rows(sig, id_col, n_hashes, bands, scheme)
+    # SLIM self-join: the signature arrays (n_hashes × 32-char hex ≈ 1 KB
+    # per row under the md5 scheme) never enter the band join or the pair
+    # dedup exchange — candidates are found on (id, band, bucket) alone
+    # and the two signatures are re-attached to the (tiny) deduped pair
+    # set afterwards (guide §2.3: shuffle keys, not payloads; sig rows are
+    # unique per id BY CONSTRUCTION — sig is an aggregate output — so the
+    # re-attach is exactly the value the old first(sig) dedup picked).
     band_rows = cap_key_frequency(
-        band_rows, ["band", "bucket"], max_bucket_size, "minhash_band"
+        band_rows.select(id_col, "band", "bucket"),
+        ["band", "bucket"], max_bucket_size, "minhash_band",
     )
 
     a = band_rows.alias("a")
@@ -240,15 +257,19 @@ def minhash_lsh_pairs(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
-        .groupBy(
+        # a pair colliding in several bands is still ONE candidate; dedupe
+        # on the id pair (cheap keys)
+        .select(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
-        # a pair colliding in several bands is still ONE candidate; dedupe
-        # on the id pair (cheap keys), not on the signature arrays
-        .agg(F.first(F.col("a.sig")).alias("sig_a"), F.first(F.col("b.sig")).alias("sig_b"))
+        .distinct()
     )
+    sig_a = sig.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sig_b = sig.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
     return (
-        cand.withColumn("est_jaccard", _est_jaccard(n_hashes))
+        cand.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .withColumn("est_jaccard", _est_jaccard(n_hashes))
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
     )
@@ -373,6 +394,11 @@ def minhash_index_neardup(
         F.col("bucket"),
     )
     idx = cap_key_frequency(idx, ["band", "bucket"], max_bucket_size, "minhash_index")
+    # est_jaccard is computed AT the join output (both signatures are on
+    # the row already) so the multi-band pair dedup shuffles one double
+    # per row instead of two ~1 KB signature arrays (guide §2.3); every
+    # duplicate row of a pair carries the same signatures, so first(est)
+    # equals the est the old first(sig)/first(sig) dedup produced.
     cand = (
         rows_new.select(
             F.col(id_col).alias("id_new"),
@@ -382,12 +408,12 @@ def minhash_index_neardup(
         )
         .join(idx, ["band", "bucket"])
         .filter(F.col("id_new") != F.col("id_indexed"))
+        .withColumn("est_jaccard", _est_jaccard(meta["n_hashes"]))
         .groupBy("id_new", "id_indexed")
-        .agg(F.first("sig_a").alias("sig_a"), F.first("sig_b").alias("sig_b"))
+        .agg(F.first("est_jaccard").alias("est_jaccard"))
     )
     return (
-        cand.withColumn("est_jaccard", _est_jaccard(meta["n_hashes"]))
-        .filter(F.col("est_jaccard") >= threshold)
+        cand.filter(F.col("est_jaccard") >= threshold)
         .select("id_new", "id_indexed", "est_jaccard")
     )
 
@@ -487,6 +513,11 @@ def simhash_pairs(
     ).select(id_col, "sim", "bk.band", "bk.key")
     bands = cap_key_frequency(bands, ["band", "key"], max_bucket_size, "simhash_band")
     a, b = bands.alias("a"), bands.alias("b")
+    # hamming is computed at the join output (both signatures are on the
+    # row) so the multi-band pair dedup aggregates one int instead of two
+    # longs-then-recompute; every duplicate row of a pair carries the same
+    # signatures, so first(hamming) is the identical value.
+    ham = F.bit_count(F.col("a.sim").bitwiseXOR(F.col("b.sim")))
     cand = (
         a.join(
             b,
@@ -494,15 +525,16 @@ def simhash_pairs(
             & (F.col("a.key") == F.col("b.key"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            ham.alias("hamming"),
         )
-        .agg(F.first(F.col("a.sim")).alias("sim_a"), F.first(F.col("b.sim")).alias("sim_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.first("hamming").alias("hamming"))
     )
-    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return (
-        cand.withColumn("hamming", ham)
-        .filter(F.col("hamming") <= max_hamming)
+        cand.filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
 
@@ -652,6 +684,168 @@ def dedup_keep_exemplars(
 
 # --- exact n-gram Jaccard -------------------------------------------------------
 
+def _ngram_pairs_inworker(
+    arr: DataFrame,
+    id_col: str,
+    threshold: float,
+    max_shingle_df: int | None,
+    chunk_pair_budget: int = 4_000_000,
+):
+    """Broadcast-CSR fast path for the exact pair computation (guide §8:
+    the ~|co-occurring pairs| intermediate — 114M rows at sf1.0 — never
+    leaves the workers; only threshold survivors are materialized).
+
+    Driver builds, from ONE Arrow collect of the (id, shingle-array)
+    frame: a dictionary-encoded CSR ``shingle-code → sorted doc ids``
+    (the join build side), the per-doc set sizes, and the vocabulary.
+    Each task then expands its docs' shingle rows against the CSR in
+    numpy (repeat/gather), counts pairs with one sort per doc-aligned
+    chunk, attaches sizes, applies the Jaccard threshold and emits ONLY
+    the surviving rows. Exact: same shingle sets, same integer
+    intersection counts, the identical single IEEE-double division.
+
+    Returns None when the gate fails (ids not castable to uint32-packable
+    nonnegative ints, or the table exceeds the broadcast budget) — the
+    caller then uses the distributed join path. The cap (if it fires) is
+    applied to the CSR side exactly like the join path's build-side
+    anti-join; its observability metric only exists on the distributed
+    path.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    id_type = arr.schema[id_col].dataType
+    if not isinstance(id_type, (T.LongType, T.IntegerType)):
+        return None
+    stats = arr.agg(
+        F.sum(F.size("_sh")).alias("rows"),
+        F.min(id_col).alias("lo"),
+        F.max(id_col).alias("hi"),
+    ).first()
+    rows, lo, hi = stats["rows"] or 0, stats["lo"], stats["hi"]
+    # ~48 B/row bounds b_ids + indptr + an all-unique vocabulary; 256 MB
+    # keeps the broadcast (and its per-worker copy) far inside executor
+    # overhead at local and cluster scale alike
+    if rows == 0 or lo is None or lo < 0 or hi >= (1 << 32) or rows * 48 > 256 * 1024 * 1024:
+        return None
+
+    import pyarrow.compute as pc
+
+    t = arr.toArrow()
+    ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    shl = t.column("_sh").combine_chunks()
+    lens = pc.fill_null(pc.list_value_length(shl), 0).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    flat_arr = pc.list_flatten(shl)
+    if hasattr(flat_arr, "combine_chunks"):  # ChunkedArray → Array
+        flat_arr = flat_arr.combine_chunks()
+    denc = pc.dictionary_encode(flat_arr)
+    codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = denc.dictionary.to_pandas()
+    n_vocab = len(vocab)
+    b_ids = np.repeat(ids, lens)
+    if max_shingle_df is not None:
+        dfreq = np.bincount(codes, minlength=n_vocab)
+        keep = dfreq[codes] <= max_shingle_df
+        if not keep.all():
+            codes, b_ids = codes[keep], b_ids[keep]
+    order = np.argsort(codes, kind="stable")
+    b_sorted = b_ids[order]
+    indptr = np.zeros(n_vocab + 1, np.int64)
+    np.cumsum(np.bincount(codes, minlength=n_vocab), out=indptr[1:])
+    doc_order = np.argsort(ids, kind="stable")
+    ids_sorted, n_sorted = ids[doc_order], lens[doc_order]
+
+    sc = arr.sparkSession.sparkContext
+    bc = sc.broadcast(
+        {
+            "vocab": pd.Index(vocab),
+            "indptr": indptr,
+            "b_sorted": b_sorted,
+            "ids_sorted": ids_sorted,
+            "n_sorted": n_sorted,
+        }
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", id_type, True),
+            T.StructField("id_b", id_type, True),
+            T.StructField("jaccard", T.DoubleType(), True),
+        ]
+    )
+
+    def pairs_fast(batches, _bc=bc, _thr=threshold, _budget=chunk_pair_budget):
+        v = _bc.value
+        vocab_idx, indptr_l = v["vocab"], v["indptr"]
+        b_sorted_l, ids_s, n_s = v["b_sorted"], v["ids_sorted"], v["n_sorted"]
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            a_ids = pdf[id_col].to_numpy().astype(np.int64)
+            lists = pdf["_sh"].to_numpy()
+            lens_a = np.fromiter(
+                (0 if x is None else len(x) for x in lists),
+                dtype=np.int64, count=len(lists),
+            )
+            total_a = int(lens_a.sum())
+            if total_a == 0:
+                continue
+            flat = np.concatenate([x for x in lists if x is not None and len(x)])
+            codes_a = vocab_idx.get_indexer(flat)
+            safe = np.maximum(codes_a, 0)
+            lens_b = np.where(
+                codes_a >= 0, indptr_l[safe + 1] - indptr_l[safe], 0
+            )
+            starts_b = indptr_l[safe]
+            a_rep = np.repeat(a_ids, lens_a)
+            # doc-aligned chunks bounded by the pair budget: a pair's
+            # contributions all come from one doc's rows, so chunking at
+            # doc boundaries keeps each pair's count complete per chunk
+            cum_b = np.concatenate([[0], np.cumsum(lens_b)])
+            doc_end = np.cumsum(lens_a)
+            doc_exp_end = cum_b[doc_end]
+            chunk_ids = doc_exp_end // _budget
+            bounds = np.concatenate(
+                [[0], doc_end[np.flatnonzero(np.diff(chunk_ids)) ], [total_a]]
+            )
+            for r0, r1 in zip(bounds[:-1], bounds[1:]):
+                if r0 >= r1:
+                    continue
+                lb = lens_b[r0:r1]
+                tot = int(lb.sum())
+                if tot == 0:
+                    continue
+                base = np.repeat(starts_b[r0:r1], lb)
+                inner = np.arange(tot) - np.repeat(np.cumsum(lb) - lb, lb)
+                bb = b_sorted_l[base + inner]
+                aa = np.repeat(a_rep[r0:r1], lb)
+                m = aa < bb
+                aa, bb = aa[m], bb[m]
+                if aa.size == 0:
+                    continue
+                key = (aa.astype(np.uint64) << np.uint64(32)) | bb.astype(
+                    np.uint64
+                )
+                uk, cnt = np.unique(key, return_counts=True)
+                ua = (uk >> np.uint64(32)).astype(np.int64)
+                ub = (uk & np.uint64(0xFFFFFFFF)).astype(np.int64)
+                na = n_s[np.searchsorted(ids_s, ua)]
+                nb = n_s[np.searchsorted(ids_s, ub)]
+                jac = cnt.astype(np.float64) / (na + nb - cnt).astype(np.float64)
+                keep_m = jac >= _thr
+                if keep_m.any():
+                    yield pd.DataFrame(
+                        {
+                            "id_a": ua[keep_m],
+                            "id_b": ub[keep_m],
+                            "jaccard": jac[keep_m],
+                        }
+                    )
+
+    return arr.mapInPandas(pairs_fast, schema=out_schema)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -674,11 +868,59 @@ def ngram_jaccard_pairs(
     is one-sided (Jaccard under-estimates; a pair is never over-reported).
     """
     df = ensure_min_parallelism(df)
-    sh = word_shingles(df, text_col, id_col, k=k)
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    # Per-doc distinct shingles via array_distinct BEFORE the explode: a
+    # row-local JVM operation that replaces the old full (id, shingle)
+    # distinct() shuffle, and it makes |A| a per-row expression
+    # (size(array)) instead of a separate aggregation pass. The 1-row-per-
+    # doc ARRAY frame is checkpointed once and feeds everything — the cap
+    # count, both self-join sides and the sizes frame — where the old plan
+    # recomputed the scan→split→explode→distinct→cap pipeline four times
+    # (6 explodes counting the embedded cap subtrees; see plans/r06/
+    # ngram_jaccard_before.txt). The pair aggregation stays count-only:
+    # its hash map holds one entry per co-occurring pair (~2 pairs per
+    # input pair-row on dup-heavy corpora), and widening those buffers to
+    # carry the sizes was measured 1.5× SLOWER than the two post-agg
+    # broadcast-attach joins it saved — the agg is memory-bound, the
+    # broadcast probes are not.
+    words = F.split(F.col(text_col), " ")
+    idxs = F.sequence(F.lit(0), F.greatest(F.size(words) - F.lit(k), F.lit(0)))
+    sh_arr = F.array_distinct(
+        F.transform(idxs, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)))
+    )
+    arr = df.select(F.col(id_col), sh_arr.alias("_sh")).localCheckpoint(eager=True)
+    # scale-adaptive (same posture as dedup_groups): when the corpus's
+    # shingle table fits a bounded broadcast, count pairs entirely inside
+    # the workers against a dictionary-encoded CSR and materialize ONLY
+    # the threshold survivors — the ~|pairs| intermediate never crosses an
+    # exchange. Above the budget (the 100 TB tier, where this exact
+    # operator is the candidate-verification stage anyway), the
+    # distributed join below takes over.
+    fast = _ngram_pairs_inworker(arr, id_col, threshold, max_shingle_df)
+    if fast is not None:
+        return fast
+    sizes = arr.select(F.col(id_col), F.size("_sh").alias("n"))
+    sh = arr.select(F.col(id_col), F.explode("_sh").alias("shingle"))
+    # the cap is applied to the BUILD side only: a pair row requires its
+    # shingle on BOTH sides of the equi-join, so dropping an over-cap
+    # shingle from one side removes every pair it would have generated —
+    # identical semantics to the old both-sides cap, one anti-join instead
+    # of two (and the observe metric fires once)
     if max_shingle_df is not None:
         sh = cap_key_frequency(sh, ["shingle"], max_shingle_df, "shingle_df")
-    a, b = sh.alias("a"), sh.alias("b")
+    # Hash-partition the PROBE side by doc id before the explode (the
+    # exchange moves 1 slim array row per doc, not the exploded rows).
+    # Explode and the broadcast join both preserve that partitioning, and
+    # every (id_a, id_b) contribution is generated in id_a's partition —
+    # so HashPartitioning(id_a) satisfies the pair aggregation's clustered
+    # distribution and the planner drops the pair exchange entirely: the
+    # ~|pairs| intermediate (the dominant shuffle — 2.7 GB at sf1.0) never
+    # crosses the wire (guide §2.4: share one exchange across operations
+    # keyed the same way). Falls back gracefully when AQE picks a shuffle
+    # join instead of broadcast (the aggregation then re-partitions as
+    # before).
+    a_arr = arr.repartition(F.col(id_col))
+    a = a_arr.select(F.col(id_col), F.explode("_sh").alias("shingle"))
+    a, b = a.alias("a"), sh.alias("b")
     inter = (
         a.join(
             b,
@@ -694,7 +936,7 @@ def ngram_jaccard_pairs(
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
     # NO broadcast hint: the sizes frame has one row per input document —
     # forcing it through the driver OOMs at corpus scale. It is a slim
-    # (long, long) frame, so AQE broadcasts it when it fits and falls back
+    # (long, int) frame, so AQE broadcasts it when it fits and falls back
     # to a shuffle join when the corpus is genuinely huge (same reasoning
     # as dedup_keep_exemplars below).
     jac = (

@@ -28,22 +28,37 @@ from opengin_ingestion_spark.operators.dedup import cap_key_frequency
 from opengin_ingestion_spark.operators.salt import ensure_min_parallelism
 
 
-def _cosine(a_col: str, b_col: str) -> F.Column:
-    """Exact cosine similarity between two array<float/double> columns,
-    computed in double precision, JVM-side."""
-    dot = F.aggregate(
+def _dot(a_col: str, b_col: str) -> F.Column:
+    """Exact double-precision dot product of two array columns, JVM-side."""
+    return F.aggregate(
         F.zip_with(a_col, b_col, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    norm = lambda c: F.sqrt(  # noqa: E731
+
+
+def _norm(c: str | F.Column) -> F.Column:
+    """Exact double-precision L2 norm of an array column, JVM-side."""
+    return F.sqrt(
         F.aggregate(
             F.transform(c, lambda x: x.cast("double") * x.cast("double")),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
     )
-    return dot / (norm(a_col) * norm(b_col))
+
+
+def _cosine(a_col: str, b_col: str) -> F.Column:
+    """Exact cosine similarity between two array<float/double> columns,
+    computed in double precision, JVM-side.
+
+    The candidate-scoring paths below do NOT call this per pair: they
+    precompute ``_norm`` once per VECTOR (bit-identical — the same
+    expression over the same array, the same final division) so each of
+    the millions of candidate pairs pays one array fold (the dot), not
+    three (guide §1.2 step 2: per-task work, after the plan shape is
+    right)."""
+    return _dot(a_col, b_col) / (_norm(a_col) * _norm(b_col))
 
 
 def _safe_normalize(m: np.ndarray) -> np.ndarray:
@@ -247,11 +262,13 @@ def embedding_neardup_pairs(
     planes = make_hyperplanes(dim, n_planes, seed)
     corpus = ensure_min_parallelism(corpus)
     bucketed = corpus.select(
-        F.col(id_col), F.col(vec_col), _bucket_udf(planes)(F.col(vec_col)).alias("b")
+        F.col(id_col), F.col(vec_col),
+        _norm(F.col(vec_col)).alias("_nrm"),  # once per vector, see _cosine
+        _bucket_udf(planes)(F.col(vec_col)).alias("b"),
     ).localCheckpoint(eager=True)
     bucketed = cap_key_frequency(bucketed, ["b"], max_bucket_size, "embedding_bucket")
     probes = bucketed.select(
-        id_col, vec_col,
+        id_col, vec_col, "_nrm",
         F.explode(
             F.array(
                 F.col("b"),
@@ -263,19 +280,21 @@ def embedding_neardup_pairs(
         ).alias("pb"),
     )
     a = probes.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col("pb").alias("b")
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+        F.col("_nrm").alias("na"), F.col("pb").alias("b"),
     )
     c = bucketed.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col("b")
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+        F.col("_nrm").alias("nb"), F.col("b"),
     )
-    cand = (
+    # at-most-one match per ordered pair: id_b's home bucket is unique and
+    # id_a's probe list is n_planes+1 distinct buckets, so the old
+    # pair-dedup aggregate was a no-op shuffling both vectors — score at
+    # the join output directly (guide §2.3/§8)
+    return (
         a.join(c, "b")
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")  # dedupe multi-probe hits on cheap keys
-        .agg(F.first("va").alias("va"), F.first("vb").alias("vb"))
-    )
-    return (
-        cand.withColumn("cos", _cosine("va", "vb"))
+        .withColumn("cos", _dot("va", "vb") / (F.col("na") * F.col("nb")))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
@@ -319,8 +338,12 @@ def lsh_ann_topk(
         dim = len(corpus.select(vec_col).first()[0])
     planes = make_hyperplanes(dim, n_planes, seed)
     corpus = ensure_min_parallelism(corpus)
+    # _nrm precomputed once per vector (20k folds), not once per candidate
+    # pair (14M at sf1.0) — see _cosine
     bucketed = corpus.select(
-        F.col(id_col), F.col(vec_col), _bucket_udf(planes)(F.col(vec_col)).alias("b")
+        F.col(id_col), F.col(vec_col),
+        _norm(F.col(vec_col)).alias("_nrm"),
+        _bucket_udf(planes)(F.col(vec_col)).alias("b"),
     ).localCheckpoint(eager=True)  # barrier: self-joined twice below
     # the cap applies to the CANDIDATE side only — every vector keeps its
     # query role even if its home bucket is degenerate
@@ -329,6 +352,7 @@ def lsh_ann_topk(
     probes = bucketed.select(
         id_col,
         vec_col,
+        "_nrm",
         F.explode(
             F.array(
                 F.col("b"),
@@ -340,19 +364,28 @@ def lsh_ann_topk(
         ).alias("probe_b"),
     )
     a = candidates.select(
-        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"), F.col("b")
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"),
+        F.col("_nrm").alias("c_nrm"), F.col("b"),
     )
     q = probes.select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"),
-        F.col("probe_b").alias("b"),
+        F.col("_nrm").alias("q_nrm"), F.col("probe_b").alias("b"),
     )
-    cand = (
+    # A (q, c) pair can match at most ONCE: c appears in exactly one home-
+    # bucket row and q's probe list {b} ∪ {b ^ 1<<p} is n_planes+1 DISTINCT
+    # buckets — so the pair-dedup aggregate the old plan paid here was a
+    # no-op that shuffled both full vectors (~1 KB/row at dim 64) through a
+    # second exchange. Score at the join output and project to
+    # (q_id, c_id, cos) before the top-k window instead (guide §2.3/§8:
+    # every exchange after the join moves three scalars, not payloads).
+    scored = (
         q.join(a, "b")
         .filter(F.col("q_id") != F.col("c_id"))
-        .groupBy("q_id", "c_id")  # dedupe multi-probe hits on cheap keys
-        .agg(F.first("q_vec").alias("q_vec"), F.first("c_vec").alias("c_vec"))
+        .select(
+            "q_id", "c_id",
+            (_dot("q_vec", "c_vec") / (F.col("q_nrm") * F.col("c_nrm"))).alias("cos"),
+        )
     )
-    scored = cand.withColumn("cos", _cosine("q_vec", "c_vec"))
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -836,6 +869,7 @@ def ivf_search(
     q = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("q_nrm"),  # once per query, see _cosine
         F.explode(
             _ivf_assign_udf(centroids, n_probe)(F.col(vec_col))
         ).alias("cell"),
@@ -852,17 +886,23 @@ def ivf_search(
         .select(
             F.col(id_col).alias("c_id"),
             F.col(vec_col).alias("c_vec"),
+            _norm(F.col(vec_col)).alias("c_nrm"),  # once per indexed row
             F.col("cell").cast("int").alias("cell"),
         )
     )
     home = cap_key_frequency(home, ["cell"], max_cell_size, "ivf_cell")
+    # at-most-one match per (q, c): c is indexed in exactly one cell and
+    # the probe UDF emits n_probe DISTINCT cells — score at the join
+    # output and shuffle (q_id, c_id, cos) into the window, never the
+    # vectors (the old pair-dedup aggregate was a no-op that moved both
+    # payloads through a second exchange; guide §2.3/§8)
     cand = q.join(home, "cell")
     if exclude_self:
         cand = cand.filter(F.col("q_id") != F.col("c_id"))
-    cand = cand.groupBy("q_id", "c_id").agg(
-        F.first("q_vec").alias("q_vec"), F.first("c_vec").alias("c_vec")
+    scored = cand.select(
+        "q_id", "c_id",
+        (_dot("q_vec", "c_vec") / (F.col("q_nrm") * F.col("c_nrm"))).alias("cos"),
     )
-    scored = cand.withColumn("cos", _cosine("q_vec", "c_vec"))
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -921,27 +961,36 @@ def ivf_ann_topk(
     probed = corpus.select(
         F.col(id_col),
         F.col(vec_col),
+        _norm(F.col(vec_col)).alias("_nrm"),  # once per vector, see _cosine
         _ivf_assign_udf(centroids, n_probe)(F.col(vec_col)).alias("cells"),
     ).localCheckpoint(eager=True)  # UDF evaluated once; self-joined below
     if home is None:
         home = probed.select(
             F.col(id_col).alias("c_id"),
             F.col(vec_col).alias("c_vec"),
+            F.col("_nrm").alias("c_nrm"),
             F.col("cells")[0].alias("cell"),  # a vector is INDEXED in its home cell
         )
+    else:
+        home = home.withColumn("c_nrm", _norm(F.col("c_vec")))
     home = cap_key_frequency(home, ["cell"], max_cell_size, "ivf_cell")
     queries = probed.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
+        F.col("_nrm").alias("q_nrm"),
         F.explode("cells").alias("cell"),  # ...but PROBES n_probe cells
     )
-    cand = (
+    # same at-most-one-match argument as ivf_search: home cell is unique
+    # per candidate, probe cells are distinct per query — score at the
+    # join, shuffle scalars into the window
+    scored = (
         queries.join(home, "cell")
         .filter(F.col("q_id") != F.col("c_id"))
-        .groupBy("q_id", "c_id")
-        .agg(F.first("q_vec").alias("q_vec"), F.first("c_vec").alias("c_vec"))
+        .select(
+            "q_id", "c_id",
+            (_dot("q_vec", "c_vec") / (F.col("q_nrm") * F.col("c_nrm"))).alias("cos"),
+        )
     )
-    scored = cand.withColumn("cos", _cosine("q_vec", "c_vec"))
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
