@@ -48,6 +48,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _tp(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parallelism-guarded table read for compute-heavy projections: the
+    testdata tables are single-row-group parquet files, which scan as ONE
+    task no matter the split size — a round-robin repartition (a few MB)
+    spreads the downstream regex/expression work across all cores
+    (optimization guide §2: the repartition costs far less than running
+    the per-row expressions single-threaded). No-op on well-split inputs."""
+    from opengin_ingestion_spark.operators.salt import ensure_min_parallelism
+
+    return ensure_min_parallelism(_t(spark, sf_dir, name))
+
+
 # ---------------------------------------------------------------------------
 # CDC-shaped queries over `events` (event_id→seq, user_id→key, ts→warc_ts)
 # ---------------------------------------------------------------------------
@@ -315,7 +327,7 @@ def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         token_count("text").alias("n_tokens"),
@@ -325,7 +337,7 @@ def q_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         token_count("text").alias("n_words"),
@@ -351,7 +363,7 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         mean_word_len,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         token_count("text").alias("n_words"),
@@ -367,7 +379,7 @@ def q_doc_name_sanitize(spark: SparkSession, sf_dir: str) -> DataFrame:
     sanitize_name against DuckDB's independent regex engine."""
     from opengin_ingestion_spark.functions.json_parse import sanitize_name
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     # coalesce: concat_ws skips NULLs while DuckDB's || propagates them —
     # pin identical null semantics on both engines
     raw = F.concat_ws(
@@ -409,9 +421,10 @@ def q_curate_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL-expressible near-dup stage: quality filter → exact dedup →
     n-gram-Jaccard pairs → connected components → exemplars, reported as
     one decision per input document. The near-dup stage is swapped from
-    MinHash-LSH (Spark-internal hashes, not oracle-able) to the exact
-    Jaccard operator whose DuckDB twin is already proven (q_ngram_jaccard),
-    so every branch of the report is independently verified."""
+    MinHash-LSH (oracle-able since round 5 via the md5 scheme, but an
+    ESTIMATOR) to the exact Jaccard operator whose DuckDB twin is already
+    proven (q_ngram_jaccard), so every branch of the report is verified
+    against an independent exact computation."""
     from opengin_ingestion_spark.operators.dedup import ngram_jaccard_pairs
     from opengin_ingestion_spark.plans.curate import CurateConfig, curate_documents
 

@@ -23,6 +23,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _parse_bytes(conf: str, default: int) -> int:
+    """Parse a Spark byte-size conf value with its unit suffix (``128m``,
+    ``1g``, ``134217728b``, bare digits = bytes). Digit-stripping — the
+    previous approach — mis-read ``128m`` as 128 bytes, inflating the
+    split-count estimate and silently disabling the small-input
+    repartition this module exists to provide (ADVICE round 5)."""
+    s = conf.strip().lower()
+    mult = {"b": 1, "k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4,
+            "p": 1024**5}
+    try:
+        if s and s[-1] in mult:
+            return int(s[:-1]) * mult[s[-1]]
+        return int(s)
+    except ValueError:
+        return default
+
+
 def ensure_min_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Round-robin repartition iff the plan's current partitioning is far
     below the session's parallelism.
@@ -53,9 +70,7 @@ def ensure_min_parallelism(df: DataFrame, min_partitions: int | None = None) -> 
             conf = spark.conf.get(
                 "spark.sql.files.maxPartitionBytes", "134217728b"
             )
-            split_bytes = int(
-                "".join(c for c in conf if c.isdigit()) or "134217728"
-            )
+            split_bytes = _parse_bytes(conf, default=134217728)
             est = max(len(files), -(-size // max(1, split_bytes)))
         else:
             est = (

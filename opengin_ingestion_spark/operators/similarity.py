@@ -736,7 +736,18 @@ def update_ivf_index(
     }
     # THE commit: readers before this see the old generation (intact),
     # readers after see the new one; a crash before this line changes
-    # nothing durable
+    # nothing durable. Re-read-and-abort first: two concurrent updaters
+    # both derive generation+1 from the same parent — the loser must fail
+    # loudly instead of silently discarding the winner's delta (ADVICE
+    # round 5; GinTable commits make the same expected-parent check).
+    current = load_ivf_meta(index_path)
+    if current.get("generation", 0) != meta.get("generation", 0):
+        _shutil.rmtree(new_abs, ignore_errors=True)
+        raise RuntimeError(
+            f"concurrent IVF update: index generation moved "
+            f"{meta.get('generation', 0)} -> {current.get('generation', 0)} "
+            "while this update ran — re-read the index and re-apply the delta"
+        )
     _commit_ivf_meta(index_path, new_meta)
     _gc_ivf_generations(index_path, keep={new_rel, meta.get("cells_rel", "cells")})
     return {

@@ -546,11 +546,17 @@ class GinTable:
         if ts_range is not None:
             # exact semantics on top of the file pruning: the surviving
             # files may carry out-of-range rows (and stat-less files are
-            # read whole); this predicate also pushes to the parquet scan
+            # read whole); this predicate also pushes to the parquet scan.
+            # The bound literals carry an explicit 'Z' so the cast anchors
+            # them to UTC — the same convention the manifest's file-level
+            # ISO strings use — instead of the session timezone: a table
+            # opened under a non-UTC session would otherwise prune files
+            # by UTC bounds but filter rows by shifted bounds and drop
+            # in-range rows (ADVICE round 5).
             tsc = self.ts_col(snap)
             df = df.filter(
-                (F.col(tsc) >= F.lit(lo_iso).cast("timestamp"))
-                & (F.col(tsc) <= F.lit(hi_iso).cast("timestamp"))
+                (F.col(tsc) >= F.lit(lo_iso + "Z").cast("timestamp"))
+                & (F.col(tsc) <= F.lit(hi_iso + "Z").cast("timestamp"))
             )
         if not include_internal:
             # user view: tombstones invisible, internal columns dropped

@@ -20,8 +20,12 @@ Engine disciplines applied at the edge:
 * **atomic publish**: body streams to a dot-prefixed temp name in the
   SAME directory, fsync'd, then rename()d — a live tail can never pick up
   a half-written file (the changelog writer's convention).
-* **bounded**: Content-Length is required and capped (``max_bytes``,
-  413 over); chunked streaming copy, never the whole body in memory.
+* **bounded**: Content-Length is required, validated (malformed or
+  negative → 400) and capped (``max_bytes``, 413 over). The raw-body path
+  is a chunked streaming copy that never holds the whole body in memory;
+  the multipart path DOES buffer the body for the boundary scan — bounded
+  by ``max_bytes`` (256 MB default), which is the memory bound to size
+  for multipart clients.
 * **loopback by default**: this is an ingest sidecar for a driver/edge
   node, not a public service — binding beyond 127.0.0.1 is an explicit
   caller decision.
@@ -123,7 +127,14 @@ class UploadServer:
                 if length is None:
                     self._json(411, {"error": "Content-Length required"})
                     return
-                length = int(length)
+                try:
+                    length = int(length)
+                except ValueError:  # malformed header → 400, not a dropped
+                    self._json(400, {"error": "malformed Content-Length"})
+                    return  # connection (ADVICE round 5)
+                if length < 0:  # negative passes a plain > max check
+                    self._json(400, {"error": "negative Content-Length"})
+                    return
                 if length > server.max_bytes:
                     self._json(413, {"error": "body exceeds max_bytes"})
                     return

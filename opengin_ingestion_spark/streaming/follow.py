@@ -68,7 +68,10 @@ def follow_changes(
 
     Runs until ``until_version`` is applied (a bounded drain — the
     available-now analog) or ``max_polls`` empty polls pass (None =
-    poll forever; use a thread/process for a live daemon).
+    poll forever; use a thread/process for a live daemon). EITHER bound
+    terminates the drain: ``max_polls`` consecutive idle polls break the
+    loop even while ``until_version`` has not been reached (a table that
+    never reaches the target must not spin forever — ADVICE round 5).
 
     Returns ``{"applied_ranges": [(from, to), ...], "version": last}``.
     """
@@ -92,7 +95,7 @@ def follow_changes(
             polls += 1
         if until_version is not None and last >= until_version:
             break
-        if until_version is None and max_polls is not None and polls >= max_polls:
+        if max_polls is not None and polls >= max_polls:
             break
         if cur is None or cur <= last:
             time.sleep(poll_seconds)
