@@ -618,7 +618,11 @@ def dedup_groups(
                 parent[x], x = r, parent[x]
             return r
 
-        for row in edges.toLocalIterator():
+        # one collect, not toLocalIterator: the byte budget above already
+        # bounds what the driver holds, and the iterator's per-partition
+        # sequential fetches cost ~2s of round-trips even for a
+        # few-thousand-edge graph (measured inside curate_decisions)
+        for row in edges.collect():
             u, v = row[0], row[1]
             parent.setdefault(u, u)
             parent.setdefault(v, v)

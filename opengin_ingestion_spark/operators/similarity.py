@@ -610,9 +610,12 @@ def update_ivf_index(
 
     # fail-fast on unknown change types: a caller feeding Delta-CDF
     # vocabulary ('insert', 'update_postimage', ...) must get an error,
-    # not a silent anti-join removal of those ids from the index
+    # not a silent anti-join removal of those ids from the index.
+    # ONE aggregation also yields the distinct-delete count the stats need
+    # (previously a separate count job — each Spark action on a small
+    # delta costs more in scheduling than in work)
     type_rows = changes.groupBy(change_type_col).agg(
-        F.count(F.lit(1)).alias("n")
+        F.count_distinct(F.col(id_col)).alias("n")
     ).collect()
     unknown_types = {r[0] for r in type_rows} - {"upsert", "delete"}
     if unknown_types:
@@ -621,6 +624,7 @@ def update_ivf_index(
             "update_ivf_index consumes table_changes vocabulary "
             "('upsert' | 'delete') — map other CDC dialects before calling"
         )
+    n_deletes = sum(r["n"] for r in type_rows if r[0] == "delete")
 
     # an upsert with a NULL vector removes the id from the index (its id
     # is in changed_ids so old copies are dropped; nothing is re-added) —
@@ -658,15 +662,11 @@ def update_ivf_index(
         .collect()
     }
     # one aggregation over the checkpointed assignments yields the new
-    # home-cell set AND the upsert count (≤n_centroids rows)
+    # home-cell set AND the upsert count (≤n_centroids rows); the delete
+    # count came out of the type-vocabulary aggregation above
     new_cell_counts = assigned_new.groupBy("cell").count().collect()
     new_cells = {r["cell"] for r in new_cell_counts}
     n_upserts = sum(r["count"] for r in new_cell_counts)
-    n_deletes = (
-        changes.filter(F.col(change_type_col) == "delete").select(id_col)
-        .distinct()
-        .count()
-    )
     touched = sorted(old_cells | new_cells)
     if not touched:
         return {
