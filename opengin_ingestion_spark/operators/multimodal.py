@@ -251,6 +251,9 @@ def sample_frames(
 def media_metadata(df: DataFrame) -> DataFrame:
     """Codec-free metadata: mime (magic bytes) + payload size. Vectorized
     pandas UDF for the sniff, built-ins for the rest."""
+    from opengin_ingestion_spark.operators.salt import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df)  # same guard as the sibling operators
 
     @F.pandas_udf(T.StringType())
     def mime_udf(payload: pd.Series) -> pd.Series:
