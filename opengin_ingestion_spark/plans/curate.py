@@ -76,10 +76,15 @@ def curate_documents(
     ok_ids = flags.filter(~null_text & ~too_short & ~low_q).select(id_col)
     quality_ok = docs.join(ok_ids, id_col, "left_semi")
 
-    # exact dedup on the text digest: smallest id survives
+    # exact dedup on the text digest: smallest id survives. Checkpointed:
+    # the slim id frame feeds three branches (survivor semi-join, the
+    # exact_dup anti-join, the kept report) whose join shapes differ, so
+    # Catalyst cannot reuse one exchange across them — without the
+    # barrier the md5 scan+aggregate subtree executes once per branch
+    # (measured ~1 s of the report's cost at sf1.0).
     exact_keep = exact_dedup(
         quality_ok.select(id_col, F.md5(text_col).alias("_fp")), ["_fp"], id_col
-    ).select(id_col)
+    ).select(id_col).localCheckpoint(eager=True)
     exact_survivors = quality_ok.join(exact_keep, id_col, "left_semi")
 
     # near-dup: LSH pairs → transitive groups → exemplar = smallest id
