@@ -151,3 +151,26 @@ def test_update_ivf_index_detects_concurrent_generation_move(spark, tmp_path):
         sim.load_ivf_meta = real_loader
     # the loser left no half-written generation referenced
     assert load_ivf_meta(idx)["generation"] >= 1
+
+
+def test_ngram_fast_path_equals_distributed_path(spark, monkeypatch):
+    """The in-worker CSR fast path of ngram_jaccard_pairs must produce the
+    EXACT same (id_a, id_b, jaccard) set as the distributed join path —
+    same pairs, bit-identical doubles (the driver's value hash tolerates
+    no drift between the gated tiers)."""
+    import pandas as pd
+
+    import opengin_ingestion_spark.operators.dedup as dd
+
+    docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    fast = (
+        dd.ngram_jaccard_pairs(docs, threshold=0.3)
+        .toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    )
+    monkeypatch.setattr(dd, "_ngram_pairs_inworker", lambda *a, **k: None)
+    dist = (
+        dd.ngram_jaccard_pairs(docs, threshold=0.3)
+        .toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    )
+    assert len(fast) > 0
+    pd.testing.assert_frame_equal(fast, dist)
